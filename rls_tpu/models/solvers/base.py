@@ -1,0 +1,292 @@
+"""Solver protocol and drivers.
+
+TPU-native redesign of the reference's solver layer
+(/root/reference/src/RegularizedLeastSquares.jl:21-131): Julia's
+"mutable solver + mutable state + iterator protocol" becomes
+
+  * solver  = frozen pytree config (operators, reg terms, traced scalars,
+    static iteration limits),
+  * state   = frozen pytree of arrays produced by ``solver.init(b)``
+    (the reference's `init!` re-materialization seam, FISTA.jl:94-103 — here
+    device/sharding placement follows `b` automatically),
+  * step    = pure ``state -> state`` — the reference's `iterate`,
+  * drivers = `solve` (jit + lax.while_loop), `solve_trace`
+    (lax.scan, per-iteration metrics — the jit-friendly callback analog),
+    `solve_with_callbacks` (host loop, exact reference callback semantics),
+    `solve_batched` (vmap + active-mask — the reference's multi-RHS
+    scheduler, MultiThreading.jl).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..._pytree import pytree_dataclass, static_field
+from ...ops.base import LinearOperator, NormalOperator, as_operator
+from ..regularization import (
+    ParameterizedRegularization,
+    ProjectionRegularization,
+    Regularization,
+    find_sinks,
+    normalization_factor,
+    sink,
+)
+
+__all__ = [
+    "LinearSolver",
+    "solve",
+    "solve_trace",
+    "solve_with_callbacks",
+    "solve_batched",
+    "pcg",
+    "tree_where",
+    "split_projection_terms",
+    "prepare_operators",
+    "SolverRun",
+]
+
+
+# --------------------------------------------------------------------------
+# solver protocol
+# --------------------------------------------------------------------------
+
+
+class LinearSolver:
+    """Protocol for all solvers. Subclasses are pytree dataclasses."""
+
+    iterations: int
+
+    # construction hook used by the registry (mirrors createLinearSolver)
+    @classmethod
+    def create(cls, A=None, **kwargs) -> "LinearSolver":
+        raise NotImplementedError
+
+    def init(self, b, x0=None):
+        raise NotImplementedError
+
+    def step(self, state):
+        raise NotImplementedError
+
+    def done(self, state):
+        raise NotImplementedError
+
+    def solution(self, state):
+        return state.x
+
+    def finalize(self, state):
+        """Post-loop hook (e.g. CGNR applies its projections once at the
+        end, reference CGNR.jl:144-148)."""
+        return state
+
+    def convergence(self, state) -> dict:
+        """Named convergence metrics (reference ``solverconvergence``)."""
+        return {}
+
+
+# --------------------------------------------------------------------------
+# shared construction helpers
+# --------------------------------------------------------------------------
+
+
+def split_projection_terms(reg):
+    """Split a reg spec into (parameterized_terms, projection_terms),
+    mirroring the `findsinks(AbstractProjectionRegularization, reg)` pattern
+    in every solver ctor (e.g. FISTA.jl:79-87)."""
+    regs = list(reg) if isinstance(reg, (list, tuple)) else [reg]
+    proj_idx = set(find_sinks(ProjectionRegularization, regs))
+    proj = tuple(regs[i] for i in sorted(proj_idx))
+    params = [r for i, r in enumerate(regs) if i not in proj_idx]
+    return params, proj
+
+
+def prepare_operators(A, AHA):
+    """Normalize (A, AHA) inputs: accept raw matrices, default AHA = AᴴA."""
+    A_op = as_operator(A) if A is not None else None
+    if AHA is None:
+        if A_op is None:
+            raise ValueError("either A or AHA must be supplied")
+        AHA_op = NormalOperator(A_op)
+    else:
+        AHA_op = as_operator(AHA)
+    return A_op, AHA_op
+
+
+def tree_where(mask, new_tree, old_tree):
+    """Select between two identical pytrees; `mask` is a scalar bool or a
+    batch vector matching the leading axis of every leaf."""
+
+    def sel(a, b):
+        m = mask
+        if m.ndim > 0 and a.ndim > m.ndim:
+            m = m.reshape(m.shape + (1,) * (a.ndim - m.ndim))
+        return jnp.where(m, a, b)
+
+    return jax.tree_util.tree_map(sel, new_tree, old_tree)
+
+
+# --------------------------------------------------------------------------
+# preconditioned conjugate gradient (inner solver for ADMM/SplitBregman)
+# --------------------------------------------------------------------------
+
+
+def pcg(matvec, b, x0, maxiter: int, reltol, precon: Optional[Callable] = None):
+    """Preconditioned CG on a hermitian PSD `matvec`, early exit at
+    ‖r‖ ≤ reltol·‖b‖. Native replacement for IterativeSolvers.cg!
+    (reference ADMM.jl:244): the whole loop lives inside the jitted solver
+    step, so all dot-product reductions fuse and shard with the operator."""
+    P = precon if precon is not None else (lambda v: v)
+    r0 = b - matvec(x0)
+    z0 = P(r0)
+    target = reltol * jnp.linalg.norm(b)
+
+    def cond(c):
+        _, r, _, _, i = c
+        return jnp.logical_and(i < maxiter, jnp.linalg.norm(r) > target)
+
+    def body(c):
+        x, r, p, rz, i = c
+        q = matvec(p)
+        alpha = rz / jnp.vdot(p, q)
+        x = x + alpha * p
+        r = r - alpha * q
+        z = P(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, p, rz_new, i + 1)
+
+    init = (x0, r0, z0, jnp.vdot(r0, z0), 0)
+    x, *_ = lax.while_loop(cond, body, init)
+    return x
+
+
+# --------------------------------------------------------------------------
+# drivers
+# --------------------------------------------------------------------------
+
+
+def solve(solver: LinearSolver, b, x0=None):
+    """Full solve under one jittable computation: init → while(¬done) step →
+    finalize → solution. Mirrors `solve!` (reference
+    RegularizedLeastSquares.jl:103-117) without callbacks."""
+    state = solver.init(b, x0)
+    state = lax.while_loop(
+        lambda s: jnp.logical_not(solver.done(s)), solver.step, state
+    )
+    state = solver.finalize(state)
+    return solver.solution(state)
+
+
+def solve_trace(solver: LinearSolver, b, x0=None, metrics: bool = True):
+    """Fixed-length scan over `solver.iterations` with done-masking.
+
+    Returns ``(x, trace)`` where trace stacks per-iteration
+    ``(solution, convergence-metrics, active-flag)`` — the jit-friendly
+    equivalent of StoreSolutionCallback/StoreConvergenceCallback
+    (reference Callbacks.jl)."""
+    state0 = solver.init(b, x0)
+
+    def body(state, _):
+        active = jnp.logical_not(solver.done(state))
+        new = solver.step(state)
+        state = tree_where(active, new, state)
+        out = (solver.solution(state),)
+        if metrics:
+            out += (solver.convergence(state),)
+        out += (active,)
+        return state, out
+
+    state, trace = lax.scan(body, state0, None, length=solver.iterations)
+    state = solver.finalize(state)
+    return solver.solution(state), trace
+
+
+class SolverRun:
+    """Host-side view passed to callbacks — gives `solution`, `convergence`
+    and raw `state` access like the reference's callback(solver, iteration)
+    protocol."""
+
+    def __init__(self, solver: LinearSolver, state):
+        self.solver = solver
+        self.state = state
+
+    @property
+    def solution(self):
+        return self.solver.solution(self.state)
+
+    @property
+    def convergence(self):
+        return self.solver.convergence(self.state)
+
+
+def solve_with_callbacks(solver: LinearSolver, b, callbacks=None, x0=None):
+    """Host-loop driver with per-iteration Python callbacks; exact analog of
+    `solve!(solver, b; callbacks)` (reference RegularizedLeastSquares.jl:103-117),
+    including the iteration-0 invocation."""
+    if callbacks is None:
+        callbacks = []
+    elif callable(callbacks):
+        callbacks = [callbacks]
+
+    step = jax.jit(lambda s: solver.step(s))
+    done = jax.jit(lambda s: solver.done(s))
+
+    state = solver.init(b, x0)
+    run = SolverRun(solver, state)
+    for cb in callbacks:
+        cb(run, 0)
+
+    iteration = 0
+    while not bool(done(state)):
+        state = step(state)
+        run.state = state
+        iteration += 1
+        for cb in callbacks:
+            cb(run, iteration)
+
+    state = solver.finalize(state)
+    run.state = state
+    return solver.solution(state)
+
+
+def solve_batched(solver: LinearSolver, B, x0=None):
+    """Multi-RHS solve: columns of ``B`` (m × K) are independent problems.
+
+    vmap over per-problem states with an `active` mask folded into the loop
+    condition — the TPU-native replacement of the reference's
+    SequentialState/MultiThreadingState schedulers
+    (/root/reference/src/MultiThreading.jl:52-78): every still-active problem
+    advances one iteration per outer step; finished problems are frozen via
+    masked updates. Returns an n × K matrix (reference hcat gather)."""
+    B = jnp.asarray(B)
+    K = B.shape[1]
+
+    if x0 is None:
+        init_fn = lambda col: solver.init(col)
+    else:
+        init_fn = lambda col: solver.init(col, x0)
+    states = jax.vmap(init_fn)(B.T)
+    active0 = jnp.ones((K,), bool)
+
+    vstep = jax.vmap(solver.step)
+    vdone = jax.vmap(solver.done)
+
+    def cond(carry):
+        _, active = carry
+        return jnp.any(active)
+
+    def body(carry):
+        states, active = carry
+        new = vstep(states)
+        states = tree_where(active, new, states)
+        active = jnp.logical_and(active, jnp.logical_not(vdone(states)))
+        return states, active
+
+    states, _ = lax.while_loop(cond, body, (states, active0))
+    states = jax.vmap(solver.finalize)(states)
+    xs = jax.vmap(solver.solution)(states)  # (K, n)
+    return xs.T

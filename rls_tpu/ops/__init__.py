@@ -1,0 +1,31 @@
+from .base import (
+    DenseOperator,
+    IdentityOperator,
+    LinearOperator,
+    NormalOperator,
+    ProdOperator,
+    StackedOperator,
+    WeightingOperator,
+    adjoint_operator,
+    as_operator,
+)
+from .fourier import ConvolutionOperator, FFTOperator, SubsampledFFTOperator
+from .grad import GradientOperator
+from .sparse import SparseOperator
+
+__all__ = [
+    "LinearOperator",
+    "DenseOperator",
+    "IdentityOperator",
+    "WeightingOperator",
+    "ProdOperator",
+    "NormalOperator",
+    "StackedOperator",
+    "SparseOperator",
+    "GradientOperator",
+    "FFTOperator",
+    "SubsampledFFTOperator",
+    "ConvolutionOperator",
+    "as_operator",
+    "adjoint_operator",
+]
