@@ -30,13 +30,32 @@ from .models.regularization import (
     SystemMatrixBasedNormalization,
     TransformedRegularization,
 )
+from .callbacks import (
+    CompareSolutionCallback,
+    StoreConvergenceCallback,
+    StoreSolutionCallback,
+)
 from .models.solvers import (
+    ADMM,
     CGNR,
     FISTA,
+    OptISTA,
+    POGM,
+    DirectSolver,
+    Kaczmarz,
+    PseudoInverse,
+    SplitBregman,
+    pcg,
     solve,
     solve_batched,
     solve_trace,
     solve_with_callbacks,
+)
+from .registry import (
+    applicable_solver_list,
+    create_linear_solver,
+    is_applicable,
+    linear_solver_list,
 )
 from .ops import (
     ConvolutionOperator,

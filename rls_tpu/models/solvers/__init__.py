@@ -1,3 +1,4 @@
+from .admm import ADMM
 from .base import (
     LinearSolver,
     pcg,
@@ -7,7 +8,12 @@ from .base import (
     solve_with_callbacks,
 )
 from .cgnr import CGNR
+from .direct import DirectSolver, PseudoInverse
 from .fista import FISTA
+from .kaczmarz import Kaczmarz
+from .optista import OptISTA
+from .pogm import POGM
+from .splitbregman import SplitBregman
 
 __all__ = [
     "LinearSolver",
@@ -18,4 +24,11 @@ __all__ = [
     "pcg",
     "CGNR",
     "FISTA",
+    "OptISTA",
+    "POGM",
+    "ADMM",
+    "SplitBregman",
+    "Kaczmarz",
+    "DirectSolver",
+    "PseudoInverse",
 ]
