@@ -1,0 +1,40 @@
+"""Test harness configuration.
+
+Mirrors the reference's multi-backend strategy (one suite, N array types —
+/root/reference/test/runtests.jl:1-15): the suite runs on a virtual
+8-device CPU mesh so sharding tests validate multi-chip semantics without
+TPU hardware; the same tests pass unchanged on a real TPU when
+RLS_TPU_TEST_PLATFORM=tpu is set.
+"""
+
+import os
+
+# Force the CPU backend with a virtual 8-device mesh unless the user
+# explicitly requests the real TPU (RLS_TPU_TEST_PLATFORM=tpu). The driver
+# environment pins JAX_PLATFORMS to the tunneled TPU, which is both slow for
+# a large unit-test suite and not multi-device.
+_platform = os.environ.get("RLS_TPU_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
+flags = os.environ.get("XLA_FLAGS", "")
+if _platform == "cpu" and "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# jax may already be imported by a pytest plugin; the config update still
+# wins as long as no backend has been initialized yet.
+jax.config.update("jax_platforms", _platform)
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session", params=["float32", "complex64"])
+def dtype(request):
+    return np.dtype(request.param)

@@ -1,0 +1,57 @@
+"""Multi-RHS batched solving ≡ per-column solves for every solver, mirroring
+/root/reference/test/testMultiThreading.jl:1-29 (the vmapped active-mask
+scheduler replaces SequentialState/MultiThreadingState)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rls_tpu as rt
+from rls_tpu import solve, solve_batched
+
+SOLVERS = [
+    "Kaczmarz",
+    "CGNR",
+    "FISTA",
+    "OptISTA",
+    "POGM",
+    "ADMM",
+    "SplitBregman",
+    "DirectSolver",
+    "PseudoInverse",
+]
+
+L2_ONLY = {"Kaczmarz", "CGNR", "DirectSolver", "PseudoInverse"}
+
+
+@pytest.mark.parametrize("name", SOLVERS)
+def test_batched_equals_columnwise(rng, name):
+    A = jnp.asarray(rng.normal(size=(8, 5)).astype(np.float32))
+    X = jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32))
+    B = A @ X
+    reg = (
+        rt.L2Regularization(1e-4) if name in L2_ONLY else rt.L1Regularization(1e-4)
+    )
+    s = rt.create_linear_solver(name, A, reg=reg, iterations=30, kwarg_warning=False)
+    XB = solve_batched(s, B)
+    assert XB.shape == (5, 3)
+    for k in range(3):
+        xk = solve(s, B[:, k])
+        np.testing.assert_allclose(
+            np.asarray(XB[:, k]), np.asarray(xk), atol=2e-3,
+            err_msg=f"{name} column {k}",
+        )
+
+
+def test_batched_after_single(rng):
+    """A solver config is stateless: single solve after batched solve works
+    unchanged (reference tests sequential-after-batched state restoration)."""
+    A = jnp.asarray(rng.normal(size=(8, 5)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(5,)).astype(np.float32))
+    b = A @ x
+    s = rt.FISTA.create(A, reg=rt.L1Regularization(1e-4), iterations=30)
+    B = jnp.stack([b, 2 * b], axis=1)
+    XB = solve_batched(s, B)
+    x1 = solve(s, b)
+    np.testing.assert_allclose(np.asarray(XB[:, 0]), np.asarray(x1), atol=2e-3)

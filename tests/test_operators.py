@@ -1,0 +1,122 @@
+"""Operator protocol tests: adjointness <Ax, y> == <x, Aᴴy>, normal-op
+consistency, row access. (Reference has no dedicated operator tests — it
+relies on LinearOperators.jl — but our operators are new code.)"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rls_tpu as rt
+
+
+def _adjoint_check(op, rng, tol=1e-4):
+    x = jnp.asarray(
+        rng.normal(size=(op.in_size,)) + 1j * rng.normal(size=(op.in_size,)),
+        dtype=op.dtype if jnp.issubdtype(op.dtype, jnp.complexfloating) else None,
+    )
+    if not jnp.issubdtype(op.dtype, jnp.complexfloating):
+        x = jnp.asarray(rng.normal(size=(op.in_size,)), jnp.float32)
+    y = (
+        jnp.asarray(
+            rng.normal(size=(op.out_size,)) + 1j * rng.normal(size=(op.out_size,))
+        ).astype(op.dtype)
+        if jnp.issubdtype(op.dtype, jnp.complexfloating)
+        else jnp.asarray(rng.normal(size=(op.out_size,)), jnp.float32)
+    )
+    lhs = jnp.vdot(y, op.mv(x))
+    rhs = jnp.vdot(op.rmv(y), x)
+    assert abs(lhs - rhs) < tol * (abs(lhs) + 1)
+    # normal consistency
+    nx = op.normal(x)
+    ref = op.rmv(op.mv(x))
+    np.testing.assert_allclose(np.asarray(nx), np.asarray(ref), atol=1e-4)
+
+
+def test_dense_adjoint(rng):
+    mat = jnp.asarray(
+        (rng.normal(size=(12, 8)) + 1j * rng.normal(size=(12, 8))).astype(
+            np.complex64
+        )
+    )
+    _adjoint_check(rt.DenseOperator(mat), rng)
+
+
+def test_gradient_op_adjoint(rng):
+    op = rt.GradientOperator(im_shape=(5, 7), _dtype=jnp.float32)
+    _adjoint_check(op, rng)
+    op2 = rt.GradientOperator(im_shape=(4, 6, 3), dims=(0, 2), _dtype=jnp.complex64)
+    _adjoint_check(op2, rng)
+
+
+def test_gradient_op_matches_diff(rng):
+    op = rt.GradientOperator(im_shape=(4, 5), _dtype=jnp.float32)
+    img = jnp.asarray(rng.normal(size=(4, 5)), jnp.float32)
+    g = op.mv(img.reshape(-1))
+    expected = jnp.concatenate(
+        [jnp.diff(img, axis=0).reshape(-1), jnp.diff(img, axis=1).reshape(-1)]
+    )
+    np.testing.assert_allclose(np.asarray(g), np.asarray(expected), rtol=1e-6)
+
+
+def test_subsampled_fft_adjoint(rng):
+    n = 16 * 16
+    idx = jnp.asarray(sorted(rng.choice(n, size=n // 3, replace=False)), jnp.int32)
+    op = rt.SubsampledFFTOperator(sample_idx=idx, im_shape=(16, 16))
+    _adjoint_check(op, rng)
+
+
+def test_convolution_adjoint(rng):
+    kern = jnp.asarray(rng.normal(size=(3, 3)), jnp.float32)
+    op = rt.ConvolutionOperator.from_kernel(kern, (12, 12))
+    _adjoint_check(op, rng)
+
+
+def test_weighting_prod_stack(rng):
+    mat = jnp.asarray(rng.normal(size=(6, 4)), jnp.float32)
+    w = jnp.asarray(rng.uniform(0.5, 1.5, size=(6,)), jnp.float32)
+    prod = rt.ProdOperator(rt.WeightingOperator(w), rt.DenseOperator(mat))
+    dense = rt.DenseOperator(w[:, None] * mat)
+    x = jnp.asarray(rng.normal(size=(4,)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(prod.mv(x)), np.asarray(dense.mv(x)), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(prod.row(2)), np.asarray(dense.row(2)), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(prod.row_norms_sq()), np.asarray(dense.row_norms_sq()), rtol=1e-5
+    )
+    stack = rt.StackedOperator(ops=(rt.DenseOperator(mat), rt.DenseOperator(2 * mat)))
+    np.testing.assert_allclose(
+        np.asarray(stack.mv(x)),
+        np.concatenate([np.asarray(mat @ x), np.asarray(2 * mat @ x)]),
+        rtol=1e-5,
+    )
+    _adjoint_check(stack, rng)
+
+
+def test_sparse_operator(rng):
+    dense = rng.normal(size=(10, 6))
+    dense[rng.uniform(size=(10, 6)) < 0.6] = 0.0
+    op = rt.SparseOperator.from_dense(dense.astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(6,)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(op.mv(x)), dense.astype(np.float32) @ np.asarray(x), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(op.row(3)), dense[3].astype(np.float32), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(op.row_norms_sq()),
+        (np.abs(dense) ** 2).sum(1).astype(np.float32),
+        rtol=1e-5,
+    )
+
+
+def test_power_iterations(rng):
+    mat = jnp.asarray(rng.normal(size=(20, 20)), jnp.float32)
+    aha = rt.NormalOperator(rt.DenseOperator(mat))
+    lam = float(rt.power_iterations(aha))
+    true = float(np.linalg.eigvalsh(np.asarray(mat).T @ np.asarray(mat)).max())
+    assert abs(lam - true) / true < 2e-2

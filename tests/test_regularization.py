@@ -1,0 +1,139 @@
+"""Regularization decorators, mirroring /root/reference/test/testRegularization.jl:
+scaled/fixed/auto decorators, masked and transformed terms, PnP defaults and
+solver compatibility, λ-clipping, sink resolution."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rls_tpu as rt
+from rls_tpu import solve
+from rls_tpu.models.regularization import find_sink, find_sinks, sink
+
+
+def test_sink_and_find(rng):
+    l1 = rt.L1Regularization(0.5)
+    scaled = rt.FixedScaledRegularization(l1, 2.0)
+    norm = rt.NormalizedRegularization(scaled, 3.0)
+    assert sink(norm) is l1
+    regs = [norm, rt.L2Regularization(0.1), rt.PositiveRegularization()]
+    assert find_sink(rt.L1Regularization, regs) == 0
+    assert find_sinks(rt.models.regularization.ParameterizedRegularization, regs) == [0, 1]
+    assert float(norm.get_lam()) == pytest.approx(3.0)  # 0.5*2*3
+
+
+def test_fixed_scaled_prox(rng):
+    x = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    l1 = rt.L1Regularization(0.2)
+    scaled = rt.FixedScaledRegularization(l1, 2.0)
+    np.testing.assert_allclose(
+        np.asarray(scaled.prox(x)), np.asarray(l1.prox(x, 0.4)), atol=1e-6
+    )
+
+
+def test_fixed_parameter_ignores_incoming_lambda(rng):
+    x = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    l1 = rt.L1Regularization(0.2)
+    fixed = rt.FixedParameterRegularization(l1)
+    np.testing.assert_allclose(
+        np.asarray(fixed.prox(x, 99.0)), np.asarray(l1.prox(x, 0.2)), atol=1e-6
+    )
+
+
+def test_auto_scaled(rng):
+    x = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    l1 = rt.L1Regularization(0.1)
+    auto = rt.AutoScaledRegularization(l1)
+    expected = l1.prox(x, 0.1 * float(jnp.max(jnp.abs(x))))
+    np.testing.assert_allclose(np.asarray(auto.prox(x)), np.asarray(expected), atol=1e-6)
+
+
+def test_masked_regularization(rng):
+    x = -jnp.ones((4,), jnp.float32)
+    masked = rt.MaskedRegularization(
+        rt.PositiveRegularization(), mask=[True, False, True, False]
+    )
+    out = np.asarray(masked.prox(x))
+    np.testing.assert_allclose(out, [0.0, -1.0, 0.0, -1.0])
+
+
+def test_transformed_regularization(rng):
+    """Soft-threshold in the FFT domain of a unitary transform."""
+    n = 16
+    trafo = rt.FFTOperator(im_shape=(n,))
+    x = jnp.asarray(
+        (rng.normal(size=(n,)) + 1j * rng.normal(size=(n,))).astype(np.complex64)
+    )
+    reg = rt.TransformedRegularization(rt.L1Regularization(0.1), trafo)
+    out = reg.prox(x, 0.1)
+    expected = trafo.rmv(rt.L1Regularization(0.1).prox(trafo.mv(x), 0.1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-5)
+
+
+def test_pnp_regularization(rng):
+    """PnP with a toy 'denoiser' (identity → prox is identity; shrink model)."""
+    x = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    pnp = rt.PnPRegularization(
+        1.0, model=lambda v: v, shape=(16,), input_transform=rt.models.regularization.IdentityTransform
+    )
+    np.testing.assert_allclose(np.asarray(pnp.prox(x, 0.5)), np.asarray(x), atol=1e-6)
+
+    # complex input: real/imag parts denoised separately
+    xc = (x + 1j * x).astype(jnp.complex64)
+    out = pnp.prox(xc, 0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xc), atol=1e-6)
+
+    # λ clipped to [0, 1]
+    shrink = rt.PnPRegularization(
+        1.0, model=lambda v: 0.5 * v, shape=(16,),
+        input_transform=rt.models.regularization.IdentityTransform,
+    )
+    out5 = shrink.prox(x, 5.0)  # behaves like λ=1
+    out1 = shrink.prox(x, 1.0)
+    np.testing.assert_allclose(np.asarray(out5), np.asarray(out1), atol=1e-6)
+
+
+def test_pnp_in_solver(rng):
+    """PnP works inside ADMM / FISTA (testRegularization.jl:22-39)."""
+    A = jnp.asarray(rng.normal(size=(8, 6)).astype(np.float32))
+    xt = jnp.asarray(np.abs(rng.normal(size=(6,))).astype(np.float32))
+    b = A @ xt
+    pnp = rt.PnPRegularization(
+        0.1, model=lambda v: v, shape=(6,),
+        input_transform=rt.models.regularization.IdentityTransform,
+    )
+    s = rt.ADMM.create(A, reg=pnp, iterations=30)
+    x = solve(s, b)
+    err = float(jnp.linalg.norm(x - xt) / jnp.linalg.norm(xt))
+    assert err < 0.1
+
+
+def test_input_transforms(rng):
+    x = jnp.asarray(rng.normal(size=(32,)), jnp.float32)
+    for T in [
+        rt.models.regularization.MinMaxTransform,
+        rt.models.regularization.ZTransform,
+        rt.models.regularization.IdentityTransform,
+    ]:
+        tf = T(x)
+        np.testing.assert_allclose(
+            np.asarray(tf.backward(tf.forward(x))), np.asarray(x), atol=1e-5
+        )
+    tf = rt.models.regularization.ClampedScalingTransform(x, -1.0, 1.0)
+    rec = tf.backward(tf.forward(x))
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-5)
+
+
+def test_normalization_factors(rng):
+    A = rt.DenseOperator(jnp.asarray(rng.normal(size=(6, 4)).astype(np.float32)))
+    b = jnp.asarray(rng.normal(size=(6,)).astype(np.float32))
+    from rls_tpu.models.regularization import normalization_factor
+
+    f0 = float(normalization_factor(rt.NoNormalization(), A, b))
+    assert f0 == 1.0
+    f1 = float(normalization_factor(rt.MeasurementBasedNormalization(), A, b))
+    assert f1 == pytest.approx(float(jnp.sum(jnp.abs(b)) / 6), rel=1e-5)
+    f2 = float(normalization_factor(rt.SystemMatrixBasedNormalization(), A, b))
+    assert f2 == pytest.approx(float(jnp.sum(A.row_norms_sq()) / 4), rel=1e-5)
+    with pytest.raises(ValueError):
+        normalization_factor(rt.SystemMatrixBasedNormalization(), None, b)

@@ -1,0 +1,58 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh:
+batch-sharded multi-RHS solve matches unsharded results, and a row-sharded
+operator produces correct (psum-reduced) normal products. This is the
+multi-chip seam described in SURVEY.md §2.6 / §5.8."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rls_tpu as rt
+from rls_tpu import solve_batched
+from rls_tpu.parallel import (
+    make_mesh,
+    row_sharded_operator,
+    shard_batch,
+    solve_batched_sharded,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs a multi-device mesh"
+)
+
+
+def test_batch_sharded_solve_matches(rng):
+    mesh = make_mesh(axis_names=("batch",))
+    K = len(jax.devices()) * 2
+    A = jnp.asarray(rng.normal(size=(12, 8)).astype(np.float32))
+    X = jnp.asarray(rng.normal(size=(8, K)).astype(np.float32))
+    B = A @ X
+    s = rt.FISTA.create(A, reg=rt.L1Regularization(1e-4), iterations=25)
+    X_plain = solve_batched(s, B)
+    X_shard = solve_batched_sharded(s, B, mesh)
+    np.testing.assert_allclose(np.asarray(X_shard), np.asarray(X_plain), atol=1e-4)
+
+
+def test_row_sharded_normal_op(rng):
+    mesh = make_mesh(axis_names=("rows",))
+    m = len(jax.devices()) * 16
+    mat = rng.normal(size=(m, 24)).astype(np.float32)
+    op = row_sharded_operator(mat, mesh, axis="rows")
+    x = jnp.asarray(rng.normal(size=(24,)).astype(np.float32))
+    out = jax.jit(op.normal)(x)
+    expected = mat.T @ (mat @ np.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4)
+
+
+def test_row_sharded_cgnr(rng):
+    mesh = make_mesh(axis_names=("rows",))
+    m = len(jax.devices()) * 8
+    mat = rng.normal(size=(m, 16)).astype(np.float32)
+    xt = rng.normal(size=(16,)).astype(np.float32)
+    b = jnp.asarray(mat @ xt)
+    op = row_sharded_operator(mat, mesh, axis="rows")
+    s = rt.CGNR.create(op, reg=rt.L2Regularization(1e-6), iterations=40)
+    x = jax.jit(rt.solve)(s, b)
+    err = float(np.linalg.norm(np.asarray(x) - xt) / np.linalg.norm(xt))
+    assert err < 0.02

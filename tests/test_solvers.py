@@ -1,0 +1,223 @@
+"""Solver correctness, mirroring /root/reference/test/testSolvers.jl:
+
+  * every registered solver recovers a tiny 3×2 real and complex system to
+    rtol 0.1 (testSolvers.jl:3-43)
+  * AHA-only construction (:45-65)
+  * compressed-sensing FFT problem with L1 for the prox-gradient family and
+    ADMM, incl. gradient restart and MeasurementBasedNormalization scale
+    invariance (:67-125)
+  * ADMM vary_rho both directions (:127-171)
+  * SplitBregman inner/outer split ≡ ADMM (:174-201)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rls_tpu as rt
+from rls_tpu import solve
+
+ALL_SOLVERS = [
+    "Kaczmarz",
+    "CGNR",
+    "FISTA",
+    "OptISTA",
+    "POGM",
+    "ADMM",
+    "SplitBregman",
+    "DirectSolver",
+    "PseudoInverse",
+]
+
+L2_ONLY = {"Kaczmarz", "CGNR", "DirectSolver", "PseudoInverse"}
+
+
+def _tiny_problem(rng, complex_=False):
+    if complex_:
+        A = (rng.normal(size=(3, 2)) + 1j * rng.normal(size=(3, 2))).astype(
+            np.complex64
+        )
+        x = (rng.normal(size=(2,)) + 1j * rng.normal(size=(2,))).astype(np.complex64)
+    else:
+        A = rng.normal(size=(3, 2)).astype(np.float32)
+        x = rng.normal(size=(2,)).astype(np.float32)
+    return jnp.asarray(A), jnp.asarray(x), jnp.asarray(A @ x)
+
+
+def _reg_for(name):
+    if name in L2_ONLY:
+        return rt.L2Regularization(1e-4)
+    return rt.L1Regularization(1e-4)
+
+
+@pytest.mark.parametrize("name", ALL_SOLVERS)
+@pytest.mark.parametrize("complex_", [False, True])
+def test_recover_tiny_system(rng, name, complex_):
+    A, xt, b = _tiny_problem(rng, complex_)
+    s = rt.create_linear_solver(
+        name, A, reg=_reg_for(name), iterations=200, kwarg_warning=False
+    )
+    x = solve(s, b)
+    err = float(jnp.linalg.norm(x - xt) / jnp.linalg.norm(xt))
+    assert err < 0.1, f"{name}: {err}"
+
+
+@pytest.mark.parametrize("name", ["CGNR", "FISTA", "OptISTA", "POGM", "ADMM"])
+def test_aha_only_construction(rng, name):
+    """Solvers built from the normal operator alone (testSolvers.jl:45-65):
+    b is then the back-projection Aᴴb."""
+    A, xt, b = _tiny_problem(rng)
+    AHA = rt.DenseOperator(A.T @ A)
+    s = rt.create_linear_solver(
+        name, AHA=AHA, reg=_reg_for(name), iterations=200, kwarg_warning=False
+    )
+    x = solve(s, A.T @ b)
+    err = float(jnp.linalg.norm(x - xt) / jnp.linalg.norm(xt))
+    assert err < 0.1
+
+
+def _cs_problem(rng, n=32, frac=0.5):
+    """1-D compressed sensing: sparse x, subsampled unitary FFT."""
+    n2 = n * n
+    x = np.zeros(n2, np.complex64)
+    nz = rng.choice(n2, size=n2 // 16, replace=False)
+    x[nz] = rng.normal(size=nz.size) + 1j * rng.normal(size=nz.size)
+    idx = np.sort(rng.choice(n2, size=int(n2 * frac), replace=False))
+    idx[0] = 0  # keep DC
+    op = rt.SubsampledFFTOperator(
+        sample_idx=jnp.asarray(idx, jnp.int32), im_shape=(n, n)
+    )
+    xt = jnp.asarray(x)
+    return op, xt, op.mv(xt)
+
+
+@pytest.mark.parametrize(
+    "name,kw",
+    [
+        ("FISTA", {}),
+        ("FISTA", {"restart": "gradient"}),
+        ("OptISTA", {}),
+        ("POGM", {}),
+        ("POGM", {"restart": "gradient"}),
+        ("ADMM", {}),
+    ],
+)
+def test_compressed_sensing_l1(rng, name, kw):
+    op, xt, b = _cs_problem(rng)
+    s = rt.create_linear_solver(
+        name,
+        op,
+        reg=rt.L1Regularization(1e-4),
+        iterations=80,
+        kwarg_warning=False,
+        **kw,
+    )
+    x = solve(s, b)
+    err = float(jnp.linalg.norm(x - xt) / jnp.linalg.norm(xt))
+    assert err < 0.1, f"{name} {kw}: {err}"
+
+
+def test_measurement_normalization_scale_invariance(rng):
+    """λ normalized by ‖b‖₁/len(b) makes the solution scale-equivariant
+    (testSolvers.jl:95-125)."""
+    op, xt, b = _cs_problem(rng)
+    s = rt.FISTA.create(
+        op,
+        reg=rt.L1Regularization(1e-3),
+        iterations=60,
+        normalize_reg=rt.MeasurementBasedNormalization(),
+    )
+    x1 = solve(s, b)
+    x2 = solve(s, 10.0 * b)
+    np.testing.assert_allclose(np.asarray(10.0 * x1), np.asarray(x2), rtol=2e-2)
+
+
+@pytest.mark.parametrize("vary", ["balance", "PnP"])
+def test_admm_vary_rho(rng, vary):
+    A, xt, b = _tiny_problem(rng)
+    s = rt.ADMM.create(
+        A, reg=rt.L1Regularization(1e-4), iterations=150, vary_rho=vary, rho=1e-2
+    )
+    x = solve(s, b)
+    err = float(jnp.linalg.norm(x - xt) / jnp.linalg.norm(xt))
+    assert err < 0.1
+
+
+def test_splitbregman_equals_admm_single_outer(rng):
+    """SplitBregman with iterations=1 is ADMM (SplitBregman docstring,
+    reference SplitBregman.jl:74)."""
+    A, xt, b = _tiny_problem(rng)
+    admm = rt.ADMM.create(A, reg=rt.L1Regularization(1e-3), iterations=50, rho=0.1)
+    sb = rt.SplitBregman.create(
+        A,
+        reg=rt.L1Regularization(1e-3),
+        iterations=1,
+        iterations_inner=50,
+        rho=0.1,
+    )
+    xa = solve(admm, b)
+    xs = solve(sb, b)
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(xs), atol=2e-3)
+
+
+def test_splitbregman_multi_term(rng):
+    """Two reg terms with gradient trafo (multi-term splitting)."""
+    n = 16
+    img = np.zeros((n, n), np.float32)
+    img[4:12, 4:12] = 1.0
+    xt = jnp.asarray(img.reshape(-1))
+    A = jnp.asarray(rng.normal(size=(3 * n * n // 2, n * n)).astype(np.float32)) / n
+    b = A @ xt
+    grad = rt.GradientOperator(im_shape=(n, n), _dtype=jnp.float32)
+    eye = rt.IdentityOperator(n * n, jnp.float32)
+    s = rt.SplitBregman.create(
+        A,
+        reg=[rt.L1Regularization(1e-4), rt.L1Regularization(1e-4)],
+        reg_trafo=[eye, grad],
+        iterations=3,
+        iterations_inner=10,
+        rho=[0.1, 0.1],
+    )
+    x = solve(s, b)
+    err = float(jnp.linalg.norm(x - xt) / jnp.linalg.norm(xt))
+    assert err < 0.1
+
+
+def test_solver_list_and_applicability():
+    assert len(rt.linear_solver_list()) >= 9
+    regs = [rt.L1Regularization(0.1)]
+    app = rt.applicable_solver_list(regs)
+    assert rt.FISTA in app and rt.CGNR not in app
+    regs2 = [rt.L2Regularization(0.1)]
+    assert rt.Kaczmarz in rt.applicable_solver_list(regs2)
+
+
+def test_kwarg_filter_warning(rng):
+    A, xt, b = _tiny_problem(rng)
+    with pytest.warns(UserWarning, match="filtered out"):
+        rt.create_linear_solver(
+            "CGNR", A, reg=rt.L2Regularization(1e-4), bogus_kwarg=1
+        )
+
+
+def test_positive_projection_with_cgnr(rng):
+    A, xt, b = _tiny_problem(rng)
+    xt_pos = jnp.abs(xt)
+    b = A @ xt_pos
+    s = rt.CGNR.create(
+        A,
+        reg=[rt.L2Regularization(1e-4), rt.PositiveRegularization()],
+        iterations=50,
+    )
+    x = solve(s, b)
+    assert float(jnp.min(x)) >= 0.0
+
+
+def test_x0_warm_start(rng):
+    A, xt, b = _tiny_problem(rng)
+    s = rt.FISTA.create(A, reg=rt.L1Regularization(1e-5), iterations=10)
+    x_cold = solve(s, b)
+    x_warm = solve(s, b, xt)  # start at the solution
+    err_warm = float(jnp.linalg.norm(x_warm - xt) / jnp.linalg.norm(xt))
+    assert err_warm < 0.05
