@@ -48,7 +48,9 @@ from .models.solvers import (
     pcg,
     solve,
     solve_batched,
+    solve_batched_unrolled,
     solve_trace,
+    solve_unrolled,
     solve_with_callbacks,
 )
 from .registry import (
@@ -59,6 +61,7 @@ from .registry import (
 )
 from .ops import (
     ConvolutionOperator,
+    DirectConvOperator,
     DenseOperator,
     FFTOperator,
     GradientOperator,

@@ -129,7 +129,7 @@ class L21Regularization(ParameterizedRegularization):
 # --------------------------------------------------------------------------
 
 
-def prox_tv_fgp(x, lam, grad_op: GradientOperator, iterations: int):
+def prox_tv_fgp(x, lam, grad_op: GradientOperator, iterations: int, unroll=False):
     """Fast Gradient Projection on the TV dual (Beck & Teboulle 2009),
     mirroring the reference's FGP loop (ProxTV.jl:89-125). The whole loop is
     jit-fused: each iteration is gradient-op matvecs + elementwise clamping +
@@ -151,9 +151,16 @@ def prox_tv_fgp(x, lam, grad_op: GradientOperator, iterations: int):
         rs_new = (1.0 + t2) * pq - t2 * pq_old
         return (pq, rs_new, t_new)
 
-    pq, _, _ = lax.fori_loop(
-        0, iterations, body, (pq0, pq0, jnp.asarray(1.0, rdt))
-    )
+    carry = (pq0, pq0, jnp.asarray(1.0, rdt))
+    if unroll:
+        # python-unrolled loop: one straight-line fused XLA program, no
+        # control-flow primitives (needed on restricted TPU runtimes and
+        # faster for small fixed iteration counts)
+        for i in range(iterations):
+            carry = body(i, carry)
+        pq = carry[0]
+    else:
+        pq, _, _ = lax.fori_loop(0, iterations, body, carry)
     return x - lam * G.rmv(pq)
 
 
@@ -168,6 +175,7 @@ class TVRegularization(ParameterizedRegularization):
     shape: tuple = static_field(default=None)
     dims: Any = static_field(default=None)
     iterations_tv: int = static_field(default=10)
+    unroll: bool = static_field(default=False)
 
     def __post_init__(self):
         if self.shape is not None:
@@ -186,7 +194,9 @@ class TVRegularization(ParameterizedRegularization):
         ):
             img = x.reshape(self.shape)
             return prox_tv_1d_axis(img, lam, self.dims).reshape(x.shape)
-        return prox_tv_fgp(x, lam, self._grad_op(x.dtype), self.iterations_tv)
+        return prox_tv_fgp(
+            x, lam, self._grad_op(x.dtype), self.iterations_tv, self.unroll
+        )
 
     def value(self, x, lam=None):
         lam = self.lam if lam is None else lam

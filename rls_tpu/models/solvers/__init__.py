@@ -4,7 +4,9 @@ from .base import (
     pcg,
     solve,
     solve_batched,
+    solve_batched_unrolled,
     solve_trace,
+    solve_unrolled,
     solve_with_callbacks,
 )
 from .cgnr import CGNR
@@ -21,6 +23,8 @@ __all__ = [
     "solve_trace",
     "solve_with_callbacks",
     "solve_batched",
+    "solve_unrolled",
+    "solve_batched_unrolled",
     "pcg",
     "CGNR",
     "FISTA",

@@ -42,6 +42,8 @@ __all__ = [
     "solve_trace",
     "solve_with_callbacks",
     "solve_batched",
+    "solve_unrolled",
+    "solve_batched_unrolled",
     "pcg",
     "tree_where",
     "split_projection_terms",
@@ -203,6 +205,32 @@ def solve_trace(solver: LinearSolver, b, x0=None, metrics: bool = True):
     state, trace = lax.scan(body, state0, None, length=solver.iterations)
     state = solver.finalize(state)
     return solver.solution(state), trace
+
+
+def solve_unrolled(solver: LinearSolver, b, x0=None):
+    """Fixed-iteration solve with a python-unrolled step loop — a single
+    straight-line XLA program with no control-flow primitives.
+
+    Use cases: (a) fixed-iteration throughput benchmarking, (b) TPU runtimes
+    without `lax.while_loop` support, (c) small iteration counts where
+    unrolling lets XLA fuse across iterations. No early convergence exit —
+    runs exactly `solver.iterations` steps (the prox must also be
+    control-flow free, e.g. TVRegularization(unroll=True))."""
+    state = solver.init(b, x0)
+    for _ in range(solver.iterations):
+        state = solver.step(state)
+    state = solver.finalize(state)
+    return solver.solution(state)
+
+
+def solve_batched_unrolled(solver: LinearSolver, B, x0=None):
+    """vmapped `solve_unrolled` over the columns of B; returns n × K."""
+    B = jnp.asarray(B)
+    if x0 is None:
+        fn = lambda col: solve_unrolled(solver, col)
+    else:
+        fn = lambda col: solve_unrolled(solver, col, x0)
+    return jax.vmap(fn)(B.T).T
 
 
 class SolverRun:

@@ -9,6 +9,7 @@ from .base import (
     adjoint_operator,
     as_operator,
 )
+from .conv_direct import DirectConvOperator
 from .fourier import ConvolutionOperator, FFTOperator, SubsampledFFTOperator
 from .grad import GradientOperator
 from .sparse import SparseOperator
@@ -26,6 +27,7 @@ __all__ = [
     "FFTOperator",
     "SubsampledFFTOperator",
     "ConvolutionOperator",
+    "DirectConvOperator",
     "as_operator",
     "adjoint_operator",
 ]

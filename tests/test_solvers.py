@@ -77,16 +77,15 @@ def test_aha_only_construction(rng, name):
     assert err < 0.1
 
 
-def _cs_problem(rng, n=32, frac=0.5):
-    """1-D compressed sensing: sparse x, subsampled unitary FFT."""
-    n2 = n * n
-    x = np.zeros(n2, np.complex64)
-    nz = rng.choice(n2, size=n2 // 16, replace=False)
-    x[nz] = rng.normal(size=nz.size) + 1j * rng.normal(size=nz.size)
-    idx = np.sort(rng.choice(n2, size=int(n2 * frac), replace=False))
-    idx[0] = 0  # keep DC
+def _cs_problem(rng, n=256, npeaks=3, frac=0.5):
+    """1-D compressed sensing mirroring the reference's convex test problem
+    (testSolvers.jl:67-81): few positive peaks, half-sampled unitary DFT."""
+    x = np.zeros(n, np.complex64)
+    nz = rng.choice(n, size=npeaks, replace=False)
+    x[nz] = rng.uniform(0.3, 1.0, size=npeaks)
+    idx = np.sort(np.unique(rng.choice(n, size=int(n * frac))))
     op = rt.SubsampledFFTOperator(
-        sample_idx=jnp.asarray(idx, jnp.int32), im_shape=(n, n)
+        sample_idx=jnp.asarray(idx, jnp.int32), im_shape=(n,)
     )
     xt = jnp.asarray(x)
     return op, xt, op.mv(xt)
@@ -108,8 +107,8 @@ def test_compressed_sensing_l1(rng, name, kw):
     s = rt.create_linear_solver(
         name,
         op,
-        reg=rt.L1Regularization(1e-4),
-        iterations=80,
+        reg=rt.L1Regularization(1e-3),
+        iterations=200,
         kwarg_warning=False,
         **kw,
     )
@@ -125,12 +124,14 @@ def test_measurement_normalization_scale_invariance(rng):
     s = rt.FISTA.create(
         op,
         reg=rt.L1Regularization(1e-3),
-        iterations=60,
+        iterations=100,
         normalize_reg=rt.MeasurementBasedNormalization(),
     )
     x1 = solve(s, b)
     x2 = solve(s, 10.0 * b)
-    np.testing.assert_allclose(np.asarray(10.0 * x1), np.asarray(x2), rtol=2e-2)
+    # norm-based comparison (Julia isapprox semantics)
+    rel = float(jnp.linalg.norm(10.0 * x1 - x2) / jnp.linalg.norm(x2))
+    assert rel < 2e-2
 
 
 @pytest.mark.parametrize("vary", ["balance", "PnP"])
