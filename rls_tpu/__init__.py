@@ -41,8 +41,11 @@ from .models.solvers import (
     FISTA,
     OptISTA,
     POGM,
+    DaxConstrained,
+    DaxKaczmarz,
     DirectSolver,
     Kaczmarz,
+    PDHG,
     PseudoInverse,
     SplitBregman,
     pcg,
@@ -61,6 +64,7 @@ from .registry import (
 )
 from .ops import (
     ConvolutionOperator,
+    SamplingOperator,
     DirectConvOperator,
     DenseOperator,
     FFTOperator,
@@ -73,6 +77,6 @@ from .ops import (
     SubsampledFFTOperator,
     WeightingOperator,
 )
-from .utils import nrmsd, power_iterations
+from .utils import load_state, nrmsd, power_iterations, resume, save_state, time_solver, trace
 
 __version__ = "0.1.0"

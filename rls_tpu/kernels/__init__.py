@@ -1,0 +1,3 @@
+from .tv_pallas import prox_tv2d_fgp_pallas
+
+__all__ = ["prox_tv2d_fgp_pallas"]

@@ -176,6 +176,7 @@ class TVRegularization(ParameterizedRegularization):
     dims: Any = static_field(default=None)
     iterations_tv: int = static_field(default=10)
     unroll: bool = static_field(default=False)
+    backend: str = static_field(default="xla")  # "xla" | "pallas"
 
     def __post_init__(self):
         if self.shape is not None:
@@ -189,11 +190,22 @@ class TVRegularization(ParameterizedRegularization):
 
     def prox(self, x, lam=None):
         lam = self.lam if lam is None else lam
-        if isinstance(self.dims, int) and not jnp.issubdtype(
-            x.dtype, jnp.complexfloating
-        ):
+        is_complex = jnp.issubdtype(x.dtype, jnp.complexfloating)
+        if isinstance(self.dims, int) and not is_complex:
             img = x.reshape(self.shape)
             return prox_tv_1d_axis(img, lam, self.dims).reshape(x.shape)
+        if (
+            self.backend == "pallas"
+            and not is_complex
+            and len(self.shape) == 2
+            and tuple(sorted(self.dims)) == (0, 1)
+        ):
+            from ..kernels.tv_pallas import prox_tv2d_fgp_pallas
+
+            interpret = jax.default_backend() == "cpu"
+            return prox_tv2d_fgp_pallas(
+                x, lam, self.shape, self.iterations_tv, interpret=interpret
+            )
         return prox_tv_fgp(
             x, lam, self._grad_op(x.dtype), self.iterations_tv, self.unroll
         )

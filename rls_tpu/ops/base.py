@@ -34,6 +34,7 @@ __all__ = [
     "ProdOperator",
     "NormalOperator",
     "StackedOperator",
+    "SamplingOperator",
     "as_operator",
     "adjoint_operator",
 ]
@@ -315,6 +316,37 @@ class StackedOperator(LinearOperator):
             part = op.normal(x)
             out = part if out is None else out + part
         return out
+
+
+@pytree_dataclass
+class SamplingOperator(LinearOperator):
+    """Row-sampling operator S: y = x[idx] (reference ``SamplingOp``).
+    Adjoint scatters back into zeros."""
+
+    idx: Any  # int32 indices into the input
+    n: int = static_field()
+
+    @property
+    def in_size(self) -> int:
+        return self.n
+
+    @property
+    def out_size(self) -> int:
+        return self.idx.shape[0]
+
+    @property
+    def dtype(self):
+        return jnp.complex64
+
+    def mv(self, x):
+        return x[self.idx]
+
+    def rmv(self, y):
+        return jnp.zeros((self.n,), y.dtype).at[self.idx].set(y)
+
+    def normal(self, x):
+        mask = jnp.zeros((self.n,), jnp.float32).at[self.idx].set(1.0)
+        return x * mask.astype(x.dtype)
 
 
 @pytree_dataclass

@@ -25,11 +25,14 @@ from .models.solvers import (
     ADMM,
     CGNR,
     FISTA,
-    OptISTA,
+    PDHG,
     POGM,
+    DaxConstrained,
+    DaxKaczmarz,
     DirectSolver,
     Kaczmarz,
     LinearSolver,
+    OptISTA,
     PseudoInverse,
     SplitBregman,
 )
@@ -50,9 +53,10 @@ __all__ = [
 
 # solver taxonomy (reference abstract subtypes, RegularizedLeastSquares.jl:135-148)
 ROW_ACTION_SOLVERS = (Kaczmarz,)
+DAX_SOLVERS = (DaxKaczmarz, DaxConstrained)  # disabled upstream; opt-in here
 KRYLOV_SOLVERS = (CGNR,)
 PROXIMAL_GRADIENT_SOLVERS = (FISTA, OptISTA, POGM)
-PRIMAL_DUAL_SOLVERS = (ADMM, SplitBregman)
+PRIMAL_DUAL_SOLVERS = (ADMM, SplitBregman, PDHG)
 DIRECT_SOLVERS = (DirectSolver, PseudoInverse)
 
 _ALL = (
@@ -63,6 +67,11 @@ _ALL = (
     + DIRECT_SOLVERS
 )
 
+# like the reference's linearSolverListReal vs linearSolverList split
+# (RegularizedLeastSquares.jl:213-220): Dax solvers are constructible by
+# name but not part of the default solver list.
+_EXTRA = DAX_SOLVERS
+
 
 def linear_solver_list() -> list[Type[LinearSolver]]:
     """All available solvers (reference linearSolverList)."""
@@ -70,11 +79,11 @@ def linear_solver_list() -> list[Type[LinearSolver]]:
 
 
 def solver_by_name(name: str) -> Type[LinearSolver]:
-    for cls in _ALL:
+    for cls in _ALL + _EXTRA:
         if cls.__name__.lower() == name.lower():
             return cls
     raise KeyError(f"unknown solver {name!r}; available: "
-                   f"{[c.__name__ for c in _ALL]}")
+                   f"{[c.__name__ for c in _ALL + _EXTRA]}")
 
 
 def _as_reg_list(reg) -> list[Regularization]:
