@@ -68,7 +68,9 @@ from .ops import (
     DirectConvOperator,
     DenseOperator,
     FFTOperator,
+    FunctionOperator,
     GradientOperator,
+    RadonOperator,
     IdentityOperator,
     NormalOperator,
     ProdOperator,

@@ -207,6 +207,16 @@ def solve_trace(solver: LinearSolver, b, x0=None, metrics: bool = True):
     return solver.solution(state), trace
 
 
+def solver_solution(solver: LinearSolver, state):
+    """Reference ``solversolution`` accessor."""
+    return solver.solution(state)
+
+
+def solver_convergence(solver: LinearSolver, state):
+    """Reference ``solverconvergence`` accessor."""
+    return solver.convergence(state)
+
+
 def solve_unrolled(solver: LinearSolver, b, x0=None):
     """Fixed-iteration solve with a python-unrolled step loop — a single
     straight-line XLA program with no control-flow primitives.
@@ -263,6 +273,8 @@ def solve_with_callbacks(solver: LinearSolver, b, callbacks=None, x0=None):
     step = jax.jit(lambda s: solver.step(s))
     done = jax.jit(lambda s: solver.done(s))
 
+    verbose = bool(getattr(solver, "verbose", False))
+
     state = solver.init(b, x0)
     run = SolverRun(solver, state)
     for cb in callbacks:
@@ -273,6 +285,12 @@ def solve_with_callbacks(solver: LinearSolver, b, callbacks=None, x0=None):
         state = step(state)
         run.state = state
         iteration += 1
+        if verbose:
+            metrics = {
+                k: (float(v) if jnp.ndim(v) == 0 else [float(x) for x in v])
+                for k, v in solver.convergence(state).items()
+            }
+            print(f"Iteration {iteration}; {metrics}")
         for cb in callbacks:
             cb(run, iteration)
 

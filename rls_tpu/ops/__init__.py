@@ -11,8 +11,10 @@ from .base import (
     as_operator,
 )
 from .conv_direct import DirectConvOperator
+from .function_op import FunctionOperator
 from .fourier import ConvolutionOperator, FFTOperator, SubsampledFFTOperator
 from .grad import GradientOperator
+from .radon import RadonOperator
 from .sparse import SparseOperator
 
 __all__ = [
@@ -30,6 +32,8 @@ __all__ = [
     "SubsampledFFTOperator",
     "ConvolutionOperator",
     "DirectConvOperator",
+    "FunctionOperator",
+    "RadonOperator",
     "as_operator",
     "adjoint_operator",
 ]
