@@ -68,9 +68,14 @@ def build_problem(N=256, BATCH=16, ITERS=50):
 def main():
     import jax
 
+    # persistent compilation cache: the unrolled 50-iteration batch-64
+    # program takes minutes to compile cold but is fully cacheable
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
     from rls_tpu.models.solvers import solve_batched_unrolled
 
-    N, BATCH, ITERS = 256, 16, 50
+    N, BATCH, ITERS = 256, 64, 50
     solver, B, xs_true = build_problem(N, BATCH, ITERS)
 
     solve_fn = jax.jit(solve_batched_unrolled)
