@@ -1,3 +1,4 @@
+from .kaczmarz_pallas import kaczmarz_sweep_pallas
 from .tv_pallas import prox_tv2d_fgp_pallas
 
-__all__ = ["prox_tv2d_fgp_pallas"]
+__all__ = ["prox_tv2d_fgp_pallas", "kaczmarz_sweep_pallas"]

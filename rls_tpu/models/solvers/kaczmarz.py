@@ -20,6 +20,7 @@ from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..._pytree import pytree_dataclass, replace, static_field
@@ -45,7 +46,6 @@ class KaczmarzState:
     vl: Any
     eps_w: Any
     denom: Any
-    perm: Any  # row visit order for cyclic/shuffled sweeps
     key: Any
     lam_scale: Any
     iteration: Any
@@ -64,7 +64,9 @@ class Kaczmarz(LinearSolver):
     greedy_fnorm: Any = None  # 1 / (‖A‖_F² + λ)
     tikhonov_inv_sqrt: Any = None  # 1/√λ vector for solution rescale
     theta: Any = None
+    perm: Any = None  # row visit order (arange, or shuffled at create)
     normalize_reg: Any = NoNormalization()
+    backend: str = static_field(default="xla")  # "xla" | "pallas"
     randomized: bool = static_field(default=False)
     sub_matrix_size: int = static_field(default=1)
     shuffle_rows: bool = static_field(default=False)
@@ -85,6 +87,7 @@ class Kaczmarz(LinearSolver):
         iterations: int = 10,
         greedy_randomized: bool = False,
         theta: Optional[float] = None,
+        backend: str = "xla",
         **_,
     ):
         """Reference ctor semantics (Kaczmarz.jl:77-158)."""
@@ -134,6 +137,16 @@ class Kaczmarz(LinearSolver):
             rn2 = A_op.row_norms_sq()
             probabilities = (rn2 / jnp.sum(rn2)).astype(jnp.float32)
 
+        # row visit order: cyclic or shuffled (the reference reseeds and
+        # reshuffles at every init! with the same seed, Kaczmarz.jl:194-201 —
+        # computing it once at construction is equivalent)
+        if shuffle_rows and not randomized and not greedy_randomized:
+            perm = jnp.asarray(
+                np.random.default_rng(seed).permutation(m), jnp.int32
+            )
+        else:
+            perm = jnp.arange(m, dtype=jnp.int32)
+
         greedy_B = greedy_norms = greedy_fnorm = None
         if greedy_randomized:
             if isinstance(normalize_reg, MeasurementBasedNormalization):
@@ -161,7 +174,9 @@ class Kaczmarz(LinearSolver):
             greedy_fnorm=greedy_fnorm,
             tikhonov_inv_sqrt=tikhonov_inv_sqrt,
             theta=theta,
+            perm=perm,
             normalize_reg=normalize_reg,
+            backend=backend,
             randomized=randomized,
             sub_matrix_size=sub_matrix_size,
             shuffle_rows=shuffle_rows,
@@ -191,12 +206,7 @@ class Kaczmarz(LinearSolver):
         rn2 = self.A.row_norms_sq().astype(rdt)
         denom = jnp.where(rn2 > 0, 1.0 / (rn2 + lam_eff), 0.0)
 
-        key = jax.random.PRNGKey(self.seed)
-        if self.shuffle_rows and not self.randomized and not self.greedy:
-            key, sub = jax.random.split(key)
-            perm = jax.random.permutation(sub, m).astype(jnp.int32)
-        else:
-            perm = jnp.arange(m, dtype=jnp.int32)
+        key = jax.random.PRNGKey(self.seed) if (self.randomized or self.greedy) else jnp.zeros((2,), jnp.uint32)
 
         if x0 is not None:
             x = jnp.broadcast_to(jnp.asarray(x0, dt), (n,))
@@ -211,7 +221,6 @@ class Kaczmarz(LinearSolver):
             vl=jnp.zeros((m,), dt),
             eps_w=eps_w,
             denom=denom,
-            perm=perm,
             key=key,
             lam_scale=scale,
             iteration=jnp.asarray(0, jnp.int32),
@@ -235,13 +244,34 @@ class Kaczmarz(LinearSolver):
             key, sub = jax.random.split(key)
             idx = jax.random.choice(
                 sub,
-                state.perm.shape[0],
+                self.perm.shape[0],
                 shape=(self.sub_matrix_size,),
                 replace=False,
                 p=self.probabilities,
             ).astype(jnp.int32)
         else:
-            idx = state.perm
+            idx = self.perm
+
+        if (
+            self.backend == "pallas"
+            and not self.randomized
+            and not jnp.issubdtype(state.x.dtype, jnp.complexfloating)
+            and hasattr(self.A, "mat")
+        ):
+            from ...kernels.kaczmarz_pallas import kaczmarz_sweep_pallas
+
+            interpret = jax.default_backend() == "cpu"
+            x, vl = kaczmarz_sweep_pallas(
+                self.A.mat,
+                state.x,
+                state.vl,
+                state.u,
+                state.denom,
+                state.eps_w,
+                idx,
+                interpret=interpret,
+            )
+            return replace(state, x=x, vl=vl, key=key)
 
         (x, vl), _ = lax.scan(
             lambda c, i: self._row_update(c, i, state.u, state.denom, state.eps_w),
