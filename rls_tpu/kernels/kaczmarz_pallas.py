@@ -2,19 +2,18 @@
 
 The row recurrence (reference Kaczmarz.jl:303-317, SIMD kernel :461-517) is
 inherently sequential — the `lax.scan` version dispatches one tiny XLA op
-sequence per row with x bouncing through HBM. This kernel runs the ENTIRE
-sweep inside one Pallas program: the iterate x and the dual vl stay
-VMEM-resident, each row is DMA'd from HBM on demand, and the per-row update
-(unconjugated row·x dot, scaled residual, axpy) is pure VPU work. Real
-dtypes only (TPU Pallas has no complex; the complex path stays on XLA).
+sequence per row with x bouncing through HBM (and `lax.scan` is unavailable
+on restricted TPU runtimes altogether). This kernel runs the ENTIRE sweep
+inside one Pallas program: A, the iterate x and the dual vl are
+VMEM-resident, and each row update (unconjugated row·x dot, scaled
+residual, axpy) is pure VPU work with no HBM traffic.
 
-Double-buffered row DMA overlaps the next row fetch with the current
-update.
+Applicability: dense real A that fits in VMEM (~12 MB budget — the
+MPI-style system matrices the reference's Kaczmarz targets). Larger or
+complex systems stay on the XLA scan path.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -22,36 +21,26 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["kaczmarz_sweep_pallas"]
+__all__ = ["kaczmarz_sweep_pallas", "fits_vmem"]
+
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def fits_vmem(m: int, n: int, itemsize: int = 4) -> bool:
+    # A + x + vl + u + denom + headroom
+    return (m * n + 2 * m + 2 * n) * itemsize < _VMEM_BUDGET_BYTES
 
 
 def _kernel(idx_ref, scal_ref, A_ref, x_ref, vl_ref, u_ref, denom_ref,
-            x_out, vl_out, row_buf, sem):
+            x_out, vl_out):
     K = idx_ref.shape[0]
     eps_w = scal_ref[0]
-
     x_out[...] = x_ref[...]
     vl_out[...] = vl_ref[...]
 
-    def get_dma(slot, j):
-        i = idx_ref[j]
-        return pltpu.make_async_copy(
-            A_ref.at[pl.ds(i, 1), :], row_buf.at[slot], sem.at[slot]
-        )
-
-    get_dma(0, 0).start()
-
     def body(j, _):
-        slot = j % 2
-        nxt = (j + 1) % 2
-
-        @pl.when(j + 1 < K)
-        def _():
-            get_dma(nxt, j + 1).start()
-
-        get_dma(slot, j).wait()
         i = idx_ref[j]
-        row = row_buf[slot, 0, :]
+        row = A_ref[pl.ds(i, 1), :][0]
         tau = jnp.sum(row * x_out[0, :])
         u_i = u_ref[pl.ds(i, 1), 0][0]
         d_i = denom_ref[pl.ds(i, 1), 0][0]
@@ -72,18 +61,13 @@ def kaczmarz_sweep_pallas(A, x, vl, u, denom, eps_w, idx, interpret=False):
     """
     m, n = A.shape
     dt = x.dtype
-    x2 = x.reshape(1, n)
-    vl2 = vl.reshape(m, 1)
-    u2 = u.reshape(m, 1).astype(dt)
-    denom2 = denom.reshape(m, 1).astype(dt)
-    scal = jnp.asarray(eps_w, dt).reshape(1)
 
     x_new, vl_new = pl.pallas_call(
         _kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # idx
             pl.BlockSpec(memory_space=pltpu.SMEM),  # eps_w
-            pl.BlockSpec(memory_space=pltpu.ANY),  # A stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # A
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x
             pl.BlockSpec(memory_space=pltpu.VMEM),  # vl
             pl.BlockSpec(memory_space=pltpu.VMEM),  # u
@@ -97,10 +81,14 @@ def kaczmarz_sweep_pallas(A, x, vl, u, denom, eps_w, idx, interpret=False):
             jax.ShapeDtypeStruct((1, n), dt),
             jax.ShapeDtypeStruct((m, 1), dt),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, 1, n), dt),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
         interpret=interpret,
-    )(idx.astype(jnp.int32), scal, A.astype(dt), x2, vl2, u2, denom2)
+    )(
+        idx.astype(jnp.int32),
+        jnp.asarray(eps_w, dt).reshape(1),
+        A.astype(dt),
+        x.reshape(1, n),
+        vl.reshape(m, 1),
+        u.reshape(m, 1).astype(dt),
+        denom.reshape(m, 1).astype(dt),
+    )
     return x_new.reshape(n), vl_new.reshape(m)

@@ -252,11 +252,14 @@ class Kaczmarz(LinearSolver):
         else:
             idx = self.perm
 
+        from ...kernels.kaczmarz_pallas import fits_vmem
+
         if (
             self.backend == "pallas"
             and not self.randomized
             and not jnp.issubdtype(state.x.dtype, jnp.complexfloating)
             and hasattr(self.A, "mat")
+            and fits_vmem(self.A.out_size, self.A.in_size)
         ):
             from ...kernels.kaczmarz_pallas import kaczmarz_sweep_pallas
 

@@ -41,3 +41,19 @@ def test_tv_regularization_pallas_backend(rng):
     np.testing.assert_allclose(
         np.asarray(reg_p.prox(x)), np.asarray(reg_x.prox(x)), atol=1e-5
     )
+
+
+def test_kaczmarz_pallas_matches_scan(rng):
+    import rls_tpu as rt
+    from rls_tpu import solve
+
+    A = jnp.asarray(rng.normal(size=(20, 8)).astype(np.float32))
+    xt = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    b = A @ xt
+    sx = rt.Kaczmarz.create(A, reg=rt.L2Regularization(1e-4), iterations=25)
+    sp = rt.Kaczmarz.create(
+        A, reg=rt.L2Regularization(1e-4), iterations=25, backend="pallas"
+    )
+    x1 = solve(sx, b)
+    x2 = solve(sp, b)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-6)
