@@ -5,6 +5,7 @@ from .mesh import (
     shard_batch,
     solve_batched_sharded,
 )
+from .multihost import global_mesh, initialize_multihost, is_multihost
 
 __all__ = [
     "make_mesh",
@@ -12,4 +13,7 @@ __all__ = [
     "shard_batch",
     "row_sharded_operator",
     "solve_batched_sharded",
+    "initialize_multihost",
+    "is_multihost",
+    "global_mesh",
 ]

@@ -70,7 +70,7 @@ def test_multicoil_batched_slices(rng):
     s = rt.ADMM.create(
         A,
         reg=rt.L1Regularization(1e-4),
-        iterations=50,
+        iterations=100,
         iterations_cg=8,
         rho=0.01,
     )
