@@ -51,6 +51,7 @@ def build_problem(N=256, BATCH=16, ITERS=50):
         iterations=ITERS,
         rho=0.95,
         rel_tol=0.0,
+        track_residual=False,  # fixed-iteration throughput: skip the unused reduction
     )
 
     # piecewise-constant phantoms (TV-friendly)

@@ -52,6 +52,9 @@ class FISTA(LinearSolver):
     iterations: int = static_field(default=50)
     restart: str = static_field(default="none")
     verbose: bool = static_field(default=False)
+    # skip the per-iteration ‖res‖ reduction (fixed-iteration benchmarking /
+    # unrolled mode where early exit is disabled anyway)
+    track_residual: bool = static_field(default=True)
 
     @classmethod
     def create(
@@ -66,6 +69,7 @@ class FISTA(LinearSolver):
         rel_tol=None,
         restart: str = "none",
         verbose: bool = False,
+        track_residual: bool = True,
         **_,
     ):
         """Reference ctor semantics (FISTA.jl:57-92): exactly one
@@ -94,6 +98,7 @@ class FISTA(LinearSolver):
             iterations=iterations,
             restart=restart,
             verbose=verbose,
+            track_residual=track_residual,
         )
 
     # -- protocol --------------------------------------------------------
@@ -136,7 +141,10 @@ class FISTA(LinearSolver):
         # residual + gradient step (FISTA.jl:152-154)
         res = self.AHA.mv(x_mom) - state.x0hat
         x = x_mom - state.rho.astype(res.dtype) * res
-        rel_res = jnp.linalg.norm(res) / state.norm_x0
+        if self.track_residual:
+            rel_res = jnp.linalg.norm(res) / state.norm_x0
+        else:
+            rel_res = state.rel_res_norm
 
         # proximal map (FISTA.jl:164-168)
         lam_eff = self.reg.get_lam() * state.lam_scale
