@@ -6,7 +6,7 @@ runs on ONE chip, so `vs_baseline` is normalized against the single-chip
 share of the target (100/8 = 12.5 problems/s per chip).
 
 A "problem" = one 256×256 real image deblurring (9×9 Gaussian PSF,
-MXU-direct convolution operator) solved with 50 FISTA iterations, each
+MXU-native separable banded-matmul convolution) solved with 50 FISTA iterations, each
 iteration = conv normal op + TV-FGP prox (10 dual iterations). The whole
 batch is one vmapped, fully unrolled XLA program — no host round-trips,
 no control-flow primitives (the tunneled TPU runtime supports neither
@@ -38,15 +38,15 @@ def build_problem(N=256, BATCH=16, ITERS=50):
     g = np.exp(-(ax**2) / (2 * 2.0**2))
     kern = np.outer(g, g)
     kern /= kern.sum()
-    op = rt.DirectConvOperator(
-        kernel=jnp.asarray(kern, jnp.float32), im_shape=(N, N)
-    )
+    # MXU-native banded-matmul separable conv (bf16 hi/lo compensated):
+    # ~5x faster normal-op than the single-channel spatial conv path
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(N, N))
 
     # ‖AᴴA‖ ≤ (Σ|k|)² = 1 for a normalized blur; use rho = 0.95
     solver = rt.FISTA.create(
         op,
         reg=rt.TVRegularization(
-            5e-4, shape=(N, N), iterations_tv=10, unroll=True
+            5e-4, shape=(N, N), iterations_tv=10, unroll=True, backend="pallas"
         ),
         iterations=ITERS,
         rho=0.95,

@@ -66,6 +66,7 @@ from .ops import (
     ConvolutionOperator,
     SamplingOperator,
     DirectConvOperator,
+    SeparableConvOperator,
     DenseOperator,
     FFTOperator,
     FunctionOperator,

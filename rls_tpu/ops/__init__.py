@@ -10,7 +10,7 @@ from .base import (
     adjoint_operator,
     as_operator,
 )
-from .conv_direct import DirectConvOperator
+from .conv_direct import DirectConvOperator, SeparableConvOperator
 from .function_op import FunctionOperator
 from .fourier import ConvolutionOperator, FFTOperator, SubsampledFFTOperator
 from .grad import GradientOperator
@@ -32,6 +32,7 @@ __all__ = [
     "SubsampledFFTOperator",
     "ConvolutionOperator",
     "DirectConvOperator",
+    "SeparableConvOperator",
     "FunctionOperator",
     "RadonOperator",
     "as_operator",

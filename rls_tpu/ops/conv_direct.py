@@ -21,7 +21,7 @@ from jax import lax
 from .._pytree import pytree_dataclass, static_field
 from .base import LinearOperator
 
-__all__ = ["DirectConvOperator"]
+__all__ = ["DirectConvOperator", "SeparableConvOperator"]
 
 
 def _conv2d_same(img, kern):
@@ -73,3 +73,219 @@ class DirectConvOperator(LinearOperator):
         # matches rmv(mv(x)) away from the boundary — use the exact two-conv
         # form to keep adjoint consistency at edges.
         return self.rmv(self.mv(x))
+
+
+# --------------------------------------------------------------------------
+# Separable (banded-matmul) convolution — the MXU-native path
+# --------------------------------------------------------------------------
+
+
+def _banded(n: int, taps) -> "Any":
+    """Dense (n, n) matrix of SAME zero-padded 1-D convolution with `taps`
+    (odd length). Built on host in float64 so the normal-op factors below
+    are exact to f32 roundoff."""
+    import numpy as np
+
+    taps = np.asarray(taps, np.float64)
+    k = taps.shape[0]
+    m = np.zeros((n, n), np.float64)
+    for i, t in enumerate(taps):
+        off = i - k // 2
+        m += np.diag(np.full(n - abs(off), float(t), np.float64), k=off)
+    return m
+
+
+def _mm(a, b, compensate: bool):
+    """a @ b with f32 accuracy on MXUs whose inputs are bf16.
+
+    TPU MXUs accumulate in f32 but round *inputs* to bfloat16 (and the
+    restricted axon runtime ignores ``precision=HIGHEST``), so a plain f32
+    matmul carries ~4e-3 relative input-rounding error. Splitting each
+    operand into bf16 hi/lo parts and summing three products recovers
+    ~1e-5 relative accuracy at 3× the (cheap, MXU-bound) matmul cost:
+    a@b = (ah+al)@(bh+bl) ≈ ah@bh + ah@bl + al@bh.
+    """
+    if not compensate:
+        return a @ b
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b)
+    return ah @ bh + (ah @ bl + al @ bh)
+
+
+def _split_bf16(v):
+    """Exact hi/lo split of f32 onto the bf16 grid, by bit masking.
+
+    A round-trip cast (f32→bf16→f32) is algebraically an identity to XLA's
+    simplifier on this runtime and gets elided, silently disabling the
+    compensation (measured: 2.4e-3 error, i.e. plain bf16). The masked
+    value is exactly bf16-representable, so the MXU's input conversion is
+    lossless, and the residual v - hi is exact in f32.
+    """
+    vi = lax.bitcast_convert_type(v, jnp.uint32)
+    hi = lax.bitcast_convert_type(vi & jnp.uint32(0xFFFF0000), jnp.float32)
+    return hi, v - hi
+
+
+def _np_split_bf16(m):
+    """Host-side version of _split_bf16 for precomputing stacked factors."""
+    import numpy as np
+
+    m32 = np.ascontiguousarray(np.asarray(m, np.float32))
+    hi = (m32.view(np.uint32) & np.uint32(0xFFFF0000)).view(np.float32)
+    return hi, m32 - hi
+
+
+def _stack_left(m):
+    """(n, 3n) [hi hi lo] stacking of a constant LEFT factor: with the
+    runtime operand stacked as [xh; xl; xh] the single product
+    [Mh Mh Ml] @ [xh; xl; xh] = Mh xh + Mh xl + Ml xh — the full hi/lo
+    compensation in ONE MXU call (8× faster than three separate batched
+    matmuls, measured at 256² batch 64)."""
+    import numpy as np
+
+    hi, lo = _np_split_bf16(m)
+    return np.hstack([hi, hi, lo])
+
+
+def _stack_right(m):
+    """(3n, n) [hi; hi; lo] stacking of a constant RIGHT factor."""
+    import numpy as np
+
+    hi, lo = _np_split_bf16(m)
+    return np.vstack([hi, hi, lo])
+
+
+@pytree_dataclass
+class SeparableConvOperator(LinearOperator):
+    """2-D SAME zero-padded convolution with a separable (rank-1) kernel
+    ``k = outer(taps_h, taps_w)``, evaluated as two banded matrix products
+    ``Y = A_h X A_wᵀ``.
+
+    Rationale: a single-channel spatial conv cannot use the MXU (the
+    channel-contraction dim is 1), so ``lax.conv`` runs it on the VPU as
+    k² shifted adds — measured ~5.4 ms per normal-op application at 256²
+    batch 64 on v5e. The banded form turns each 1-D pass into a dense
+    (N×N)·(N×N) matmul that the MXU eats (~0.2 ms incl. bf16 hi/lo
+    compensation), and the fused ``normal`` applies the precomputed
+    Gram factors ``B = AᵀA`` (built in f64 on host) in a single pass:
+    ``AᴴA X = B_h X B_wᵀ`` — exactly the reference's fused-normal-operator
+    idea (docs/literate/howto/normal_operator.jl:37-60) in MXU form.
+
+    Semantically identical (to f32 roundoff) to ``DirectConvOperator`` with
+    ``kernel=outer(taps_h, taps_w)``: SAME zero padding factorizes exactly
+    into two zero-padded 1-D passes, boundaries included.
+
+    ``compensated=True`` (default) applies bf16 hi/lo error compensation on
+    MXU backends; CPU matmuls are already f32-exact so it is skipped there.
+    Real dtypes only (the compensation split has no complex bf16).
+    """
+
+    ah: Any  # (H, H) banded column-pass factor
+    aw: Any  # (W, W) banded row-pass factor
+    bh: Any  # ahᵀ ah, host-precomputed in f64
+    bw: Any  # awᵀ aw
+    # pre-stacked [hi hi lo] compensation factors (None when compensated=False)
+    cat: Any  # dict: {"mv": (L, R), "rmv": (L, R), "normal": (L, R)}
+    im_shape: tuple = static_field()
+    compensated: bool = static_field(default=True)
+
+    def __post_init__(self):
+        object.__setattr__(self, "im_shape", tuple(self.im_shape))
+
+    @classmethod
+    def from_taps(cls, taps_h, taps_w, im_shape, dtype=jnp.float32, compensated=True):
+        import numpy as np
+
+        h, w = im_shape
+        a_h = _banded(h, taps_h)
+        a_w = _banded(w, taps_w)
+        b_h = a_h.T @ a_h
+        b_w = a_w.T @ a_w
+        cat = None
+        if compensated and dtype == jnp.float32:
+            cat = {
+                name: (
+                    jnp.asarray(_stack_left(left)),
+                    jnp.asarray(_stack_right(right)),
+                )
+                for name, left, right in [
+                    ("mv", a_h, a_w.T),
+                    ("rmv", a_h.T, a_w),
+                    ("normal", b_h, b_w.T),
+                ]
+            }
+        return cls(
+            ah=jnp.asarray(a_h, dtype),
+            aw=jnp.asarray(a_w, dtype),
+            bh=jnp.asarray(b_h, dtype),
+            bw=jnp.asarray(b_w, dtype),
+            cat=cat,
+            im_shape=(h, w),
+            compensated=compensated,
+        )
+
+    @classmethod
+    def from_kernel(cls, kernel, im_shape, dtype=jnp.float32, compensated=True,
+                    rank_tol=1e-6):
+        """Factor a 2-D kernel via SVD; requires numerical rank 1."""
+        import numpy as np
+
+        k = np.asarray(kernel, np.float64)
+        u, s, vt = np.linalg.svd(k)
+        if s.shape[0] > 1 and s[1] > rank_tol * s[0]:
+            raise ValueError(
+                f"kernel is not separable (σ2/σ1 = {s[1]/s[0]:.2e}); "
+                "use DirectConvOperator"
+            )
+        taps_h = u[:, 0] * np.sqrt(s[0])
+        taps_w = vt[0] * np.sqrt(s[0])
+        # fix sign so the dominant tap is positive (pure convention)
+        if taps_h[len(taps_h) // 2] < 0:
+            taps_h, taps_w = -taps_h, -taps_w
+        return cls.from_taps(taps_h, taps_w, im_shape, dtype, compensated)
+
+    @property
+    def in_size(self) -> int:
+        h, w = self.im_shape
+        return h * w
+
+    @property
+    def out_size(self) -> int:
+        return self.in_size
+
+    @property
+    def dtype(self):
+        return self.ah.dtype
+
+    def _comp(self):
+        # CPU matmuls are f32-native; only MXU backends need the hi/lo
+        # split, and the bit-level split is f32-specific
+        return (
+            self.compensated
+            and jax.default_backend() != "cpu"
+            and self.ah.dtype == jnp.float32
+        )
+
+    def _sandwich(self, x, left, right_t, name):
+        img = x.reshape(self.im_shape)
+        if not (self._comp() and self.cat is not None):
+            return (left @ img @ right_t).reshape(x.shape)
+        # single-matmul hi/lo compensation per side: the constant factor is
+        # pre-stacked [hi hi lo] along the contraction dim, the runtime
+        # operand is stacked [xh; xl; xh], so one (n,3n)·(3n,n) product
+        # carries all three compensation terms (see _stack_left)
+        l_cat, r_cat = self.cat[name]
+        xh, xl = _split_bf16(img)
+        m = l_cat @ jnp.concatenate([xh, xl, xh], axis=-2)
+        mh, ml = _split_bf16(m)
+        out = jnp.concatenate([mh, ml, mh], axis=-1) @ r_cat
+        return out.reshape(x.shape)
+
+    def mv(self, x):
+        return self._sandwich(x, self.ah, self.aw.T, "mv")
+
+    def rmv(self, y):
+        return self._sandwich(y, self.ah.T, self.aw, "rmv")
+
+    def normal(self, x):
+        return self._sandwich(x, self.bh, self.bw.T, "normal")

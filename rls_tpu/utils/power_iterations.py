@@ -25,7 +25,8 @@ def power_iterations(
     n: int | None = None,
     dtype=None,
     rtol: float = 1e-3,
-    maxiter: int = 30,
+    maxiter: int = 50,
+    min_iter: int = 8,
     seed: int = 0,
 ):
     """Estimate the max eigenvalue of the (hermitian PSD) operator ``AHA``.
@@ -57,8 +58,16 @@ def power_iterations(
 
     def cond(carry):
         _, lam, lam_old, i = carry
+        # min_iter guard: when the random start is nearly orthogonal to the
+        # dominant eigenvector, the estimate briefly stabilizes at a
+        # SUBDOMINANT eigenvalue and an immediate rtol stop returns it —
+        # which *under*estimates λmax and makes the 0.95/λmax default step
+        # of FISTA/OptISTA/POGM divergent. A few mandatory sweeps let the
+        # dominant component be amplified past any unlucky start.
         not_conv = jnp.abs(lam / lam_old - 1.0) >= rtol
-        return jnp.logical_and(i < maxiter, not_conv)
+        return jnp.logical_and(
+            i < maxiter, jnp.logical_or(i < min_iter, not_conv)
+        )
 
     def body(carry):
         b, lam, _, i = carry

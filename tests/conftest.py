@@ -30,8 +30,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped on purpose: a shared (session-scoped) Generator makes
+    # every test's data depend on which tests ran before it, so adding a
+    # test anywhere silently changes unrelated tests' fixtures
     return np.random.default_rng(1234)
 
 

@@ -57,3 +57,20 @@ def test_kaczmarz_pallas_matches_scan(rng):
     x1 = solve(sx, b)
     x2 = solve(sp, b)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-6)
+
+
+def test_tv_pallas_per_problem_lam_under_vmap(rng):
+    """vmap over problems with per-problem λ must hit the kernel's native
+    batch grid (a batched SMEM scalar breaks Mosaic auto-batching)."""
+    import jax
+
+    n = 16
+    reg = rt.TVRegularization(
+        1e-2, shape=(n, n), iterations_tv=4, unroll=True, backend="pallas"
+    )
+    reg_xla = rt.TVRegularization(1e-2, shape=(n, n), iterations_tv=4, unroll=True)
+    X = jnp.asarray(rng.normal(size=(5, n * n)), jnp.float32)
+    lams = jnp.asarray([1e-3, 5e-3, 1e-2, 2e-2, 5e-2], jnp.float32)
+    got = jax.jit(jax.vmap(reg.prox))(X, lams)
+    want = jax.jit(jax.vmap(reg_xla.prox))(X, lams)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

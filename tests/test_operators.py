@@ -120,3 +120,71 @@ def test_power_iterations(rng):
     lam = float(rt.power_iterations(aha))
     true = float(np.linalg.eigvalsh(np.asarray(mat).T @ np.asarray(mat)).max())
     assert abs(lam - true) / true < 2e-2
+
+
+def test_separable_conv_matches_direct(rng):
+    """SeparableConvOperator ≡ DirectConvOperator for a rank-1 kernel —
+    mv/rmv/normal all agree to f32 roundoff, boundaries included."""
+    n = 32
+    g = np.exp(-((np.arange(7) - 3) ** 2) / 4.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    direct = rt.DirectConvOperator(
+        kernel=jnp.asarray(kern, jnp.float32), im_shape=(n, n)
+    )
+    sep = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    x = jnp.asarray(rng.normal(size=(n * n,)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(n * n,)), jnp.float32)
+    for name in ("mv", "rmv", "normal"):
+        a = np.asarray(getattr(direct, name)(x))
+        b = np.asarray(getattr(sep, name)(x))
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)
+    _adjoint_check(sep, rng)
+    # fused normal == rmv∘mv
+    np.testing.assert_allclose(
+        np.asarray(sep.normal(x)),
+        np.asarray(sep.rmv(sep.mv(x))),
+        rtol=0,
+        atol=2e-5,
+    )
+    # vdot adjoint identity directly
+    lhs = np.vdot(np.asarray(y), np.asarray(sep.mv(x)))
+    rhs = np.vdot(np.asarray(sep.rmv(y)), np.asarray(x))
+    assert abs(lhs - rhs) < 1e-3
+
+
+def test_separable_conv_rejects_nonseparable():
+    kern = np.eye(5, dtype=np.float32)  # rank 5
+    with pytest.raises(ValueError):
+        rt.SeparableConvOperator.from_kernel(kern, im_shape=(16, 16))
+
+
+def test_separable_conv_from_taps_compensation(rng):
+    """Compensated path is a no-op on CPU but must still be numerically
+    equal when forced through the hi/lo split formula."""
+    from rls_tpu.ops.conv_direct import _mm
+
+    a64 = rng.normal(size=(24, 24))
+    b64 = rng.normal(size=(24, 24))
+    a = jnp.asarray(a64, jnp.float32)
+    b = jnp.asarray(b64, jnp.float32)
+    got = np.asarray(_mm(a, b, True))
+    ref = a64 @ b64
+    # hi/lo split drops only the lo@lo term: ~ (2^-8)^2 relative
+    err = np.abs(got - ref).max() / np.abs(ref).max()
+    assert err < 5e-4, err
+
+
+def test_power_iterations_subdominant_start():
+    """Regression: with a start vector nearly orthogonal to the dominant
+    eigenvector, the rtol test must not stop early on the SUBDOMINANT
+    eigenvalue (that underestimates λmax and makes the 0.95/λmax FISTA
+    default step divergent — observed as a full-suite nan flake)."""
+    # the exact matrix from the flake (eigs ≈ 1.257, 2.249); PRNGKey(0)'s
+    # 2-vector happens to nearly align with the subdominant eigenvector
+    aha = np.array(
+        [[1.8667651, -0.48323855], [-0.48323855, 1.6397696]], np.float32
+    )
+    lam = float(rt.power_iterations(rt.DenseOperator(jnp.asarray(aha))))
+    true = float(np.linalg.eigvalsh(aha).max())
+    assert abs(lam - true) / true < 1e-2, (lam, true)
