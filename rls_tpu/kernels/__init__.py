@@ -1,4 +1,10 @@
+from .fista_tv_fused import fista_tv_fused, solve_fista_tv_fused
 from .kaczmarz_pallas import kaczmarz_sweep_pallas
 from .tv_pallas import prox_tv2d_fgp_pallas
 
-__all__ = ["prox_tv2d_fgp_pallas", "kaczmarz_sweep_pallas"]
+__all__ = [
+    "prox_tv2d_fgp_pallas",
+    "kaczmarz_sweep_pallas",
+    "fista_tv_fused",
+    "solve_fista_tv_fused",
+]

@@ -1,0 +1,249 @@
+"""Fully-fused FISTA-TV solve as ONE Pallas TPU kernel.
+
+The flagship configuration (BASELINE.json north star: batched FISTA with a
+TV prox on a 256² image-recon operator) spends its life in three places:
+the AᴴA normal-op matvec, the TV-FGP dual loop, and the FISTA momentum
+elementwise chain. Composed from XLA + pallas_call pieces, every iteration
+round-trips x / x_old / x0hat and the TV duals through HBM and crosses an
+XLA↔Mosaic boundary twice.
+
+This kernel runs the ENTIRE solve — all FISTA iterations, each containing
+the MXU normal-op sandwich and the full FGP dual loop — for one problem per
+grid step, with every live array VMEM-resident. HBM traffic is one read of
+AᴴB and the banded Gram factors plus one write of the solution.
+
+Requirements (checked by the `solve_fista_tv_fused` wrapper):
+  * operator: `SeparableConvOperator` (banded Gram factors, f32)
+  * regularizer: 2-D `TVRegularization` over both axes
+  * no projections, no restart, fixed iteration count (no early exit)
+Semantics mirror FISTA.step (fista.py) + prox_tv_fgp (prox.py), which in
+turn mirror /root/reference/src/FISTA.jl:139-185 and
+/root/reference/src/proximalMaps/ProxTV.jl:89-125.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fista_tv_fused", "solve_fista_tv_fused"]
+
+
+def _split(v):
+    # bit-masked bf16 hi/lo split (see ops/conv_direct.py:_split_bf16 —
+    # cast round-trips get elided by the XLA/Mosaic simplifier, bit ops
+    # don't, and the masked hi part converts to bf16 losslessly in the MXU)
+    vi = lax.bitcast_convert_type(v, jnp.uint32)
+    hi = lax.bitcast_convert_type(vi & jnp.uint32(0xFFFF0000), jnp.float32)
+    return hi, v - hi
+
+
+def _kernel(
+    scal_ref,  # SMEM (B, 2): per-problem [rho, lam_eff]
+    lcat_ref,  # VMEM (H, 3H): [Bh_hi Bh_hi Bh_lo]
+    rcat_ref,  # VMEM (3W, W): [Bw_hi; Bw_hi; Bw_lo] (right factor, pre-T)
+    x0_ref,  # VMEM (1, H, W): AᴴB for this problem
+    out_ref,  # VMEM (1, H, W)
+    *,
+    iterations: int,
+    tv_iterations: int,
+):
+    x0hat = x0_ref[0]
+    lcat = lcat_ref[...]
+    rcat = rcat_ref[...]
+    b = pl.program_id(0)
+    rho = scal_ref[b, 0]
+    lam = scal_ref[b, 1]
+    H, W = x0hat.shape
+    f32 = x0hat.dtype
+
+    def normal(u):
+        # AᴴA u = Bh u Bwᵀ with single-matmul hi/lo compensation per side
+        uh, ul = _split(u)
+        m = jnp.dot(
+            lcat,
+            jnp.concatenate([uh, ul, uh], axis=0),
+            preferred_element_type=f32,
+        )
+        mh, ml = _split(m)
+        return jnp.dot(
+            jnp.concatenate([mh, ml, mh], axis=1),
+            rcat,
+            preferred_element_type=f32,
+        )
+
+    # --- TV-FGP prox (same math as tv_pallas.py / prox.py:prox_tv_fgp) ---
+    row = lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    col = lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    not_last_row = (row < H - 1).astype(f32)
+    not_last_col = (col < W - 1).astype(f32)
+    not_first_row = (row > 0).astype(f32)
+    not_first_col = (col > 0).astype(f32)
+
+    def gv(u):
+        return (pltpu.roll(u, H - 1, 0) - u) * not_last_row
+
+    def gh(u):
+        return (pltpu.roll(u, W - 1, 1) - u) * not_last_col
+
+    def gt(pv, ph):
+        tv = pltpu.roll(pv, 1, 0) * not_first_row - pv
+        th = pltpu.roll(ph, 1, 1) * not_first_col - ph
+        return tv + th
+
+    lam_tv = rho * lam
+    lam_safe = jnp.where(lam_tv > 0, lam_tv, 1.0)
+    inv8 = 1.0 / (8.0 * lam_safe)
+    zeros = jnp.zeros((H, W), f32)
+
+    def fgp(xg):
+        def body(_, carry):
+            pv, ph, rv, rh, t = carry
+            xtmp = xg - lam_tv * gt(rv, rh)
+            qv = rv + gv(xtmp) * inv8
+            qh = rh + gh(xtmp) * inv8
+            qv = qv / jnp.maximum(1.0, jnp.abs(qv))
+            qh = qh / jnp.maximum(1.0, jnp.abs(qh))
+            t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) / 2.0
+            t2 = (t - 1.0) / t_new
+            rv_new = (1.0 + t2) * qv - t2 * pv
+            rh_new = (1.0 + t2) * qh - t2 * ph
+            return (qv, qh, rv_new, rh_new, t_new)
+
+        pv, ph, _, _, _ = lax.fori_loop(
+            0,
+            tv_iterations,
+            body,
+            (zeros, zeros, zeros, zeros, jnp.asarray(1.0, f32)),
+        )
+        return xg - lam_tv * gt(pv, ph)
+
+    # --- FISTA loop (fista.py step semantics, track_residual=False) ------
+    def fista_body(_, carry):
+        x, x_old, th, th_old = carry
+        al = (th_old - 1.0) / th
+        x_mom = x + al * (x - x_old)
+        res = normal(x_mom) - x0hat
+        xg = x_mom - rho * res
+        x_new = fgp(xg)
+        th_new = (1.0 + jnp.sqrt(1.0 + 4.0 * th * th)) / 2.0
+        return (x_new, x, th_new, th)
+
+    one = jnp.asarray(1.0, f32)
+    # initial carries derived from a loaded ref (not a splatted constant):
+    # Mosaic refuses to relayout a replicated constant into the loop carry
+    x_init = x0hat * 0.0
+    x, _, _, _ = lax.fori_loop(
+        0, iterations, fista_body, (x_init, x_init, one, one)
+    )
+    out_ref[0] = x
+
+
+def fista_tv_fused(
+    x0hat_b,  # (B, H, W) f32: AᴴB per problem
+    lcat,  # (H, 3H)
+    rcat,  # (3W, W)
+    rho,  # scalar or (B,)
+    lam,  # scalar or (B,): effective λ (already normalization-scaled)
+    iterations: int,
+    tv_iterations: int,
+    interpret: bool = False,
+):
+    B, H, W = x0hat_b.shape
+    scal = jnp.stack(
+        [
+            jnp.broadcast_to(jnp.asarray(rho, jnp.float32).reshape(-1), (B,)),
+            jnp.broadcast_to(jnp.asarray(lam, jnp.float32).reshape(-1), (B,)),
+        ],
+        axis=1,
+    )
+    # VMEM guard: live set ≈ x, x_old, x0hat, momentum/residual temps, 4 TV
+    # duals + 2 stacked concat temps (3×) + the two Gram factor blocks
+    vmem_bytes = (12 * H * W + 2 * 3 * H * W + 3 * H * H + 3 * W * W) * 4
+    if vmem_bytes > 100 * 1024 * 1024:
+        raise ValueError(
+            f"fused FISTA-TV working set ~{vmem_bytes/2**20:.0f} MiB exceeds "
+            "VMEM; use the composed solve path"
+        )
+    return pl.pallas_call(
+        functools.partial(
+            _kernel, iterations=iterations, tv_iterations=tv_iterations
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((H, 3 * H), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * W, W), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, W), x0hat_b.dtype),
+        interpret=interpret,
+    )(scal, lcat, rcat, x0hat_b)
+
+
+def solve_fista_tv_fused(solver, B_mat, interpret: bool | None = None):
+    """Drop-in fast path for `solve_batched_unrolled(solver, B)` when the
+    solver is FISTA + SeparableConvOperator + 2-D TV (the flagship bench
+    shape). Returns the n×K solution matrix like the composed driver.
+
+    Falls back assumptions are *checked*, not silently ignored — callers
+    get a ValueError naming the unsupported piece.
+    """
+    from ..models.prox import TVRegularization
+    from ..models.solvers.fista import FISTA
+    from ..ops.base import NormalOperator
+    from ..ops.conv_direct import SeparableConvOperator
+
+    if not isinstance(solver, FISTA):
+        raise ValueError("fused path requires a FISTA solver")
+    op = solver.AHA
+    if isinstance(op, NormalOperator):
+        if op.weights is not None:
+            raise ValueError("fused path does not support weighted normal ops")
+        op = op.A
+    if not isinstance(op, SeparableConvOperator):
+        raise ValueError("fused path requires SeparableConvOperator")
+    if op.cat is None:
+        raise ValueError("fused path requires compensated=True factors")
+    reg = solver.reg
+    if not isinstance(reg, TVRegularization):
+        raise ValueError("fused path requires TVRegularization")
+    H, W = op.im_shape
+    if reg.shape != (H, W) or tuple(sorted(reg.dims)) != (0, 1):
+        raise ValueError("fused path requires 2-D TV over both axes")
+    if solver.proj:
+        raise ValueError("fused path does not support projection terms")
+    if solver.restart != "none":
+        raise ValueError("fused path does not support restart")
+
+    B_mat = jnp.asarray(B_mat)
+    bt = B_mat.T  # (K, n)
+    x0hat_b = jax.vmap(solver.A.rmv)(bt).reshape(-1, H, W)
+    from ..models.regularization import normalization_factor
+
+    scale = jax.vmap(
+        lambda b: normalization_factor(solver.normalize_reg, solver.A, b)
+    )(bt)
+    lam_eff = reg.get_lam() * scale
+    lcat, rcat = op.cat["normal"]
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    out = fista_tv_fused(
+        x0hat_b,
+        lcat,
+        rcat,
+        solver.rho,
+        lam_eff,
+        solver.iterations,
+        reg.iterations_tv,
+        interpret=interpret,
+    )
+    return out.reshape(out.shape[0], H * W).T

@@ -74,3 +74,39 @@ def test_tv_pallas_per_problem_lam_under_vmap(rng):
     got = jax.jit(jax.vmap(reg.prox))(X, lams)
     want = jax.jit(jax.vmap(reg_xla.prox))(X, lams)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fista_tv_fused_matches_composed(rng):
+    """The fully-fused FISTA-TV mega-kernel must reproduce the composed
+    solve_batched_unrolled path (FISTA.step + TV prox) to f32 tolerance."""
+    import jax
+
+    from rls_tpu.kernels import solve_fista_tv_fused
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    n, batch = 24, 3
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=5, unroll=True)
+    solver = rt.FISTA.create(
+        op, reg=reg, iterations=8, rho=0.9, rel_tol=0.0, track_residual=False
+    )
+    X = jnp.asarray(rng.normal(size=(batch, n * n)), jnp.float32)
+    B = jax.vmap(op.mv)(X).T
+    want = np.asarray(jax.jit(solve_batched_unrolled)(solver, B))
+    got = np.asarray(solve_fista_tv_fused(solver, B))
+    # composed CPU path uses plain f32 matmuls, the kernel always uses the
+    # compensated stacked form -> ~1 ulp-of-bf16-residual divergence
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+
+def test_fista_tv_fused_rejects_unsupported(rng):
+    from rls_tpu.kernels import solve_fista_tv_fused
+
+    n = 8
+    A = rt.DenseOperator(jnp.asarray(rng.normal(size=(n, n)), jnp.float32))
+    s = rt.FISTA.create(A, reg=rt.L1Regularization(1e-3), iterations=3, rho=0.1)
+    with pytest.raises(ValueError):
+        solve_fista_tv_fused(s, jnp.zeros((n, 2), jnp.float32))
