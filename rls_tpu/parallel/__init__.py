@@ -4,6 +4,7 @@ from .mesh import (
     row_sharded_operator,
     shard_batch,
     solve_batched_sharded,
+    solve_fista_tv_fused_sharded,
 )
 from .multihost import global_mesh, initialize_multihost, is_multihost
 
@@ -13,6 +14,7 @@ __all__ = [
     "shard_batch",
     "row_sharded_operator",
     "solve_batched_sharded",
+    "solve_fista_tv_fused_sharded",
     "initialize_multihost",
     "is_multihost",
     "global_mesh",

@@ -75,3 +75,30 @@ def solve_batched_sharded(solver, B, mesh: Mesh, axis: str = "batch", x0=None):
     B = shard_batch(jnp.asarray(B), mesh, axis)
     fn = jax.jit(solve_batched, static_argnames=())
     return fn(solver, B) if x0 is None else fn(solver, B, x0)
+
+
+def solve_fista_tv_fused_sharded(
+    solver, B, mesh: Mesh, axis: str = "batch", interpret=None
+):
+    """Multi-chip version of the fused FISTA-TV Pallas solve
+    (kernels/fista_tv_fused.py): problems are embarrassingly parallel, so
+    shard the columns of B over `axis` and run the mega-kernel per shard
+    under `shard_map` — zero collectives, linear scaling over the mesh
+    (the TPU-native replacement for the reference's thread scheduler,
+    /root/reference/src/MultiThreading.jl:70-78)."""
+    from jax.sharding import PartitionSpec
+
+    from ..kernels import solve_fista_tv_fused
+
+    B = shard_batch(jnp.asarray(B), mesh, axis)
+    spec = PartitionSpec(None, axis)
+    fn = jax.shard_map(
+        lambda b: solve_fista_tv_fused(solver, b, interpret=interpret),
+        mesh=mesh,
+        in_specs=spec,
+        out_specs=spec,
+        # pallas_call's out_shape carries no varying-mesh-axes info; the
+        # kernel is per-problem pure so VMA checking adds nothing here
+        check_vma=False,
+    )
+    return jax.jit(fn)(B)

@@ -56,3 +56,31 @@ def test_row_sharded_cgnr(rng):
     x = jax.jit(rt.solve)(s, b)
     err = float(np.linalg.norm(np.asarray(x) - xt) / np.linalg.norm(xt))
     assert err < 0.02
+
+
+def test_fused_fista_tv_sharded(rng):
+    """Fused Pallas FISTA-TV under shard_map over the batch axis must match
+    the unsharded fused solve (interpret mode on the virtual CPU mesh)."""
+    import jax
+
+    from rls_tpu.kernels import solve_fista_tv_fused
+    from rls_tpu.parallel import make_mesh, solve_fista_tv_fused_sharded
+
+    n, ndev = 16, len(jax.devices())
+    batch = 2 * ndev
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=3, unroll=True)
+    solver = rt.FISTA.create(
+        op, reg=reg, iterations=4, rho=0.9, rel_tol=0.0, track_residual=False
+    )
+    X = jnp.asarray(rng.normal(size=(batch, n * n)), jnp.float32)
+    B = jax.vmap(op.mv)(X).T
+    mesh = make_mesh(axis_names=("batch",))
+    got = np.asarray(
+        solve_fista_tv_fused_sharded(solver, B, mesh, interpret=True)
+    )
+    want = np.asarray(solve_fista_tv_fused(solver, B, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
