@@ -78,6 +78,7 @@ from .ops import (
     SparseOperator,
     StackedOperator,
     SubsampledFFTOperator,
+    SubsampledDFT2RealOperator,
     WeightingOperator,
 )
 from .utils import load_state, nrmsd, power_iterations, resume, save_state, time_solver, trace

@@ -63,6 +63,9 @@ class ADMM(LinearSolver):
     vary_rho: str = static_field(default="none")
     iterations: int = static_field(default=10)
     iterations_cg: int = static_field(default=10)
+    # python-unrolled masked inner CG (for TPU runtimes without
+    # lax.while_loop; see base.pcg)
+    unroll_cg: bool = static_field(default=False)
     verbose: bool = static_field(default=False)
 
     @classmethod
@@ -78,6 +81,7 @@ class ADMM(LinearSolver):
         vary_rho: str = "none",
         iterations: int = 10,
         iterations_cg: int = 10,
+        unroll_cg: bool = False,
         abs_tol=None,
         rel_tol=None,
         tol_inner=1e-5,
@@ -114,6 +118,7 @@ class ADMM(LinearSolver):
             vary_rho=vary_rho,
             iterations=iterations,
             iterations_cg=iterations_cg,
+            unroll_cg=unroll_cg,
             verbose=verbose,
         )
 
@@ -185,6 +190,7 @@ class ADMM(LinearSolver):
             maxiter=self.iterations_cg,
             reltol=rel_tol_inner,
             precon=self.precon,
+            unroll=self.unroll_cg,
         )
         for p in self.proj:
             x = p.prox(x)

@@ -135,34 +135,62 @@ def tree_where(mask, new_tree, old_tree):
 # --------------------------------------------------------------------------
 
 
-def pcg(matvec, b, x0, maxiter: int, reltol, precon: Optional[Callable] = None):
+def pcg(
+    matvec,
+    b,
+    x0,
+    maxiter: int,
+    reltol,
+    precon: Optional[Callable] = None,
+    unroll: bool = False,
+):
     """Preconditioned CG on a hermitian PSD `matvec`, early exit at
     ‖r‖ ≤ reltol·‖b‖. Native replacement for IterativeSolvers.cg!
     (reference ADMM.jl:244): the whole loop lives inside the jitted solver
-    step, so all dot-product reductions fuse and shard with the operator."""
+    step, so all dot-product reductions fuse and shard with the operator.
+
+    `unroll=True` replaces the `lax.while_loop` with a python-unrolled
+    fixed-maxiter loop with MASKED updates (steps freeze once converged,
+    with a guarded denominator so frozen steps stay finite) — needed on
+    TPU runtimes without while_loop support and faster for small maxiter."""
     P = precon if precon is not None else (lambda v: v)
     r0 = b - matvec(x0)
     z0 = P(r0)
     target = reltol * jnp.linalg.norm(b)
 
-    def cond(c):
-        _, r, _, _, i = c
-        return jnp.logical_and(i < maxiter, jnp.linalg.norm(r) > target)
-
-    def body(c):
+    def step(c, masked: bool):
         x, r, p, rz, i = c
         q = matvec(p)
-        alpha = rz / jnp.vdot(p, q)
+        pq = jnp.vdot(p, q)
+        if masked:
+            active = jnp.linalg.norm(r) > target
+            denom = jnp.where(pq == 0, 1.0, pq)
+            alpha = jnp.where(active, rz / denom, 0.0).astype(x.dtype)
+        else:
+            alpha = rz / pq
         x = x + alpha * p
         r = r - alpha * q
         z = P(r)
         rz_new = jnp.vdot(r, z)
-        beta = rz_new / rz
+        if masked:
+            beta = jnp.where(rz == 0, 0.0, rz_new / jnp.where(rz == 0, 1.0, rz))
+        else:
+            beta = rz_new / rz
         p = z + beta * p
         return (x, r, p, rz_new, i + 1)
 
     init = (x0, r0, z0, jnp.vdot(r0, z0), 0)
-    x, *_ = lax.while_loop(cond, body, init)
+    if unroll:
+        c = init
+        for _ in range(maxiter):
+            c = step(c, masked=True)
+        return c[0]
+
+    def cond(c):
+        _, r, _, _, i = c
+        return jnp.logical_and(i < maxiter, jnp.linalg.norm(r) > target)
+
+    x, *_ = lax.while_loop(cond, lambda c: step(c, masked=False), init)
     return x
 
 

@@ -62,6 +62,9 @@ class SplitBregman(LinearSolver):
     iterations: int = static_field(default=10)  # outer Bregman iterations
     iterations_inner: int = static_field(default=10)
     iterations_cg: int = static_field(default=10)
+    # python-unrolled masked inner CG (for TPU runtimes without
+    # lax.while_loop; see base.pcg)
+    unroll_cg: bool = static_field(default=False)
     verbose: bool = static_field(default=False)
 
     @classmethod
@@ -77,6 +80,7 @@ class SplitBregman(LinearSolver):
         iterations: int = 10,
         iterations_inner: int = 10,
         iterations_cg: int = 10,
+        unroll_cg: bool = False,
         abs_tol=None,
         rel_tol=None,
         tol_inner=1e-5,
@@ -111,6 +115,7 @@ class SplitBregman(LinearSolver):
             iterations=iterations,
             iterations_inner=iterations_inner,
             iterations_cg=iterations_cg,
+            unroll_cg=unroll_cg,
             verbose=verbose,
         )
 
@@ -176,6 +181,7 @@ class SplitBregman(LinearSolver):
             maxiter=self.iterations_cg,
             reltol=rel_tol_inner,
             precon=self.precon,
+            unroll=self.unroll_cg,
         )
         for p in self.proj:
             x = p.prox(x)

@@ -11,6 +11,7 @@ from .base import (
     as_operator,
 )
 from .conv_direct import DirectConvOperator, SeparableConvOperator
+from .dft_real import SubsampledDFT2RealOperator
 from .function_op import FunctionOperator
 from .fourier import ConvolutionOperator, FFTOperator, SubsampledFFTOperator
 from .grad import GradientOperator
@@ -33,6 +34,7 @@ __all__ = [
     "ConvolutionOperator",
     "DirectConvOperator",
     "SeparableConvOperator",
+    "SubsampledDFT2RealOperator",
     "FunctionOperator",
     "RadonOperator",
     "as_operator",

@@ -188,3 +188,38 @@ def test_power_iterations_subdominant_start():
     lam = float(rt.power_iterations(rt.DenseOperator(jnp.asarray(aha))))
     true = float(np.linalg.eigvalsh(aha).max())
     assert abs(lam - true) / true < 1e-2, (lam, true)
+
+
+def test_subsampled_dft_real_matches_complex_fft(rng):
+    """SubsampledDFT2RealOperator (real split re/im MXU form) must agree
+    with SubsampledFFTOperator for real images: same normal op, adjoint
+    consistency, and matching measurements."""
+    h = w = 16
+    n = h * w
+    idx = jnp.asarray(sorted(rng.choice(n, size=n // 3, replace=False)), jnp.int32)
+    op_c = rt.SubsampledFFTOperator(sample_idx=idx, im_shape=(h, w))
+    op_r = rt.SubsampledDFT2RealOperator.from_sample_idx(idx, (h, w))
+    x = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+
+    # measurements: gathered complex vs masked stacked real
+    yc = np.asarray(op_c.mv(x.astype(jnp.complex64)))
+    yr = np.asarray(op_r.mv(x))
+    cr = yr[:n][np.asarray(idx)]
+    ci = yr[n:][np.asarray(idx)]
+    np.testing.assert_allclose(cr, yc.real, atol=1e-5)
+    np.testing.assert_allclose(ci, yc.imag, atol=1e-5)
+
+    # fused normal: real part of the complex normal
+    nc = np.asarray(op_c.normal(x.astype(jnp.complex64)))
+    nr = np.asarray(op_r.normal(x))
+    np.testing.assert_allclose(nr, nc.real, atol=1e-5)
+
+    # adjoint identity <y, Ax> == <A^T y, x>
+    y = jnp.asarray(rng.normal(size=(op_r.out_size,)), jnp.float32)
+    lhs = float(jnp.vdot(y, op_r.mv(x)))
+    rhs = float(jnp.vdot(op_r.rmv(y), x))
+    assert abs(lhs - rhs) < 1e-3 * (abs(lhs) + 1)
+    # normal == rmv∘mv
+    np.testing.assert_allclose(
+        np.asarray(op_r.normal(x)), np.asarray(op_r.rmv(op_r.mv(x))), atol=1e-5
+    )

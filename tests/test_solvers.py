@@ -222,3 +222,16 @@ def test_x0_warm_start(rng):
     x_warm = solve(s, b, xt)  # start at the solution
     err_warm = float(jnp.linalg.norm(x_warm - xt) / jnp.linalg.norm(xt))
     assert err_warm < 0.05
+
+
+def test_admm_unroll_cg_matches(rng):
+    """ADMM with the masked python-unrolled inner CG must match the
+    while-loop CG (control-flow-free mode for restricted TPU runtimes)."""
+    A, xt, b = _tiny_problem(rng)
+    common = dict(reg=rt.L1Regularization(1e-4), iterations=30,
+                  iterations_cg=8, kwarg_warning=False)
+    s1 = rt.create_linear_solver("ADMM", A, **common)
+    s2 = rt.create_linear_solver("ADMM", A, unroll_cg=True, **common)
+    x1 = np.asarray(solve(s1, b))
+    x2 = np.asarray(solve(s2, b))
+    np.testing.assert_allclose(x2, x1, rtol=0, atol=1e-4)
