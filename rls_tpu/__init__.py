@@ -79,6 +79,7 @@ from .ops import (
     StackedOperator,
     SubsampledFFTOperator,
     SubsampledDFT2RealOperator,
+    SenseDFT2RealOperator,
     WeightingOperator,
 )
 from .utils import load_state, nrmsd, power_iterations, resume, save_state, time_solver, trace

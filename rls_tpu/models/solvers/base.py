@@ -84,6 +84,14 @@ class LinearSolver:
         end, reference CGNR.jl:144-148)."""
         return state
 
+    @property
+    def total_steps(self) -> int:
+        """Number of step() calls a full fixed-iteration solve needs.
+        Equals `iterations` for single-loop solvers; nested-loop solvers
+        (SplitBregman: outer Bregman × inner ADMM) override it. Used by
+        the unrolled drivers — `iterations` alone under-runs them."""
+        return self.iterations
+
     def convergence(self, state) -> dict:
         """Named convergence metrics (reference ``solverconvergence``)."""
         return {}
@@ -255,7 +263,7 @@ def solve_unrolled(solver: LinearSolver, b, x0=None):
     runs exactly `solver.iterations` steps (the prox must also be
     control-flow free, e.g. TVRegularization(unroll=True))."""
     state = solver.init(b, x0)
-    for _ in range(solver.iterations):
+    for _ in range(solver.total_steps):
         state = solver.step(state)
     state = solver.finalize(state)
     return solver.solution(state)

@@ -252,6 +252,12 @@ class SplitBregman(LinearSolver):
             ok = ok & (state.sk[i] < state.sigma_abs + rel_tol * state.eps_dua[i])
         return ok
 
+    @property
+    def total_steps(self) -> int:
+        # step() advances ONE inner iteration; a full solve is
+        # outer Bregman loops x inner ADMM iterations
+        return self.iterations * self.iterations_inner
+
     def done(self, state: SplitBregmanState):
         over = jnp.logical_and(
             state.iteration == 1, state.iter_cnt > self.iterations

@@ -11,7 +11,7 @@ from .base import (
     as_operator,
 )
 from .conv_direct import DirectConvOperator, SeparableConvOperator
-from .dft_real import SubsampledDFT2RealOperator
+from .dft_real import SenseDFT2RealOperator, SubsampledDFT2RealOperator
 from .function_op import FunctionOperator
 from .fourier import ConvolutionOperator, FFTOperator, SubsampledFFTOperator
 from .grad import GradientOperator
@@ -35,6 +35,7 @@ __all__ = [
     "DirectConvOperator",
     "SeparableConvOperator",
     "SubsampledDFT2RealOperator",
+    "SenseDFT2RealOperator",
     "FunctionOperator",
     "RadonOperator",
     "as_operator",

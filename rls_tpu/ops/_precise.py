@@ -1,0 +1,77 @@
+"""f32-accurate matmuls on bf16-input MXUs — shared helpers.
+
+TPU MXUs accumulate in f32 but round matmul INPUTS to bfloat16, and some
+runtimes ignore ``precision=HIGHEST`` (measured ~4e-3 relative error). The
+fix is an exact hi/lo operand split onto the bf16 grid plus the three
+cross products; two hard-won implementation rules (see docs/tpu.md):
+
+1. the split must be done by INTEGER BIT MASKING — an f32→bf16→f32 cast
+   round-trip is an identity to the XLA simplifier and gets elided,
+   silently disabling the compensation;
+2. the three products are cheapest as ONE matmul with the constant side
+   pre-stacked ``[hi hi lo]`` along the contraction dim and the runtime
+   side stacked ``[xh; xl; xh]`` — ~8× cheaper than three separate batched
+   matmuls (measured at 256², batch 64).
+
+Used by SeparableConvOperator (conv_direct.py) and the split-real DFT /
+SENSE operators (dft_real.py), and inside the fused FISTA-TV Pallas kernel
+(kernels/fista_tv_fused.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "split_bf16",
+    "np_split_bf16",
+    "stack_left",
+    "stack_right",
+    "mm_left",
+    "mm_right",
+]
+
+
+def split_bf16(v):
+    """Exact hi/lo split of f32 onto the bf16 grid, by bit masking."""
+    vi = lax.bitcast_convert_type(v, jnp.uint32)
+    hi = lax.bitcast_convert_type(vi & jnp.uint32(0xFFFF0000), jnp.float32)
+    return hi, v - hi
+
+
+def np_split_bf16(m):
+    """Host-side split for precomputing stacked constant factors."""
+    import numpy as np
+
+    m32 = np.ascontiguousarray(np.asarray(m, np.float32))
+    hi = (m32.view(np.uint32) & np.uint32(0xFFFF0000)).view(np.float32)
+    return hi, m32 - hi
+
+
+def stack_left(m):
+    """(n, 3n) ``[hi hi lo]`` stacking of a constant LEFT factor."""
+    import numpy as np
+
+    hi, lo = np_split_bf16(m)
+    return np.hstack([hi, hi, lo])
+
+
+def stack_right(m):
+    """(3n, n) ``[hi; hi; lo]`` stacking of a constant RIGHT factor."""
+    import numpy as np
+
+    hi, lo = np_split_bf16(m)
+    return np.vstack([hi, hi, lo])
+
+
+def mm_left(l_cat, x):
+    """Compensated ``L @ x`` with L pre-stacked by stack_left."""
+    xh, xl = split_bf16(x)
+    return l_cat @ jnp.concatenate([xh, xl, xh], axis=-2)
+
+
+def mm_right(x, r_cat):
+    """Compensated ``x @ R`` with R pre-stacked by stack_right."""
+    xh, xl = split_bf16(x)
+    return jnp.concatenate([xh, xl, xh], axis=-1) @ r_cat

@@ -112,47 +112,13 @@ def _mm(a, b, compensate: bool):
     return ah @ bh + (ah @ bl + al @ bh)
 
 
-def _split_bf16(v):
-    """Exact hi/lo split of f32 onto the bf16 grid, by bit masking.
-
-    A round-trip cast (f32→bf16→f32) is algebraically an identity to XLA's
-    simplifier on this runtime and gets elided, silently disabling the
-    compensation (measured: 2.4e-3 error, i.e. plain bf16). The masked
-    value is exactly bf16-representable, so the MXU's input conversion is
-    lossless, and the residual v - hi is exact in f32.
-    """
-    vi = lax.bitcast_convert_type(v, jnp.uint32)
-    hi = lax.bitcast_convert_type(vi & jnp.uint32(0xFFFF0000), jnp.float32)
-    return hi, v - hi
-
-
-def _np_split_bf16(m):
-    """Host-side version of _split_bf16 for precomputing stacked factors."""
-    import numpy as np
-
-    m32 = np.ascontiguousarray(np.asarray(m, np.float32))
-    hi = (m32.view(np.uint32) & np.uint32(0xFFFF0000)).view(np.float32)
-    return hi, m32 - hi
-
-
-def _stack_left(m):
-    """(n, 3n) [hi hi lo] stacking of a constant LEFT factor: with the
-    runtime operand stacked as [xh; xl; xh] the single product
-    [Mh Mh Ml] @ [xh; xl; xh] = Mh xh + Mh xl + Ml xh — the full hi/lo
-    compensation in ONE MXU call (8× faster than three separate batched
-    matmuls, measured at 256² batch 64)."""
-    import numpy as np
-
-    hi, lo = _np_split_bf16(m)
-    return np.hstack([hi, hi, lo])
-
-
-def _stack_right(m):
-    """(3n, n) [hi; hi; lo] stacking of a constant RIGHT factor."""
-    import numpy as np
-
-    hi, lo = _np_split_bf16(m)
-    return np.vstack([hi, hi, lo])
+# shared bf16-compensation helpers (see ops/_precise.py for the why)
+from ._precise import (  # noqa: E402
+    np_split_bf16 as _np_split_bf16,
+    split_bf16 as _split_bf16,
+    stack_left as _stack_left,
+    stack_right as _stack_right,
+)
 
 
 @pytree_dataclass

@@ -1,26 +1,31 @@
-"""Subsampled 2-D DFT as REAL split re/im MXU matmuls.
+"""Subsampled 2-D DFT and multi-coil SENSE as REAL split re/im MXU matmuls.
 
 TPU runtimes without FFT/complex support (e.g. tunneled single-chip
 sessions — see docs/tpu.md) cannot run `SubsampledFFTOperator`, which
 blocks the compressed-sensing / MRI configurations (BASELINE.json configs
-#2/#4) on hardware. This operator poses the same `A = S∘F` measurement
-model entirely in f32:
+#2/#4) on hardware. The operators here pose the same `A = S∘F` /
+`A = stack_c(S∘F∘C_c)` measurement models entirely in f32:
 
-  * the image x is REAL (real-constrained reconstruction);
-  * the unitary 2-D DFT `F x Fᵀ` is evaluated with the real and imaginary
-    parts of the 1-D DFT matrix as four banded... dense (N,N) matmul
-    sandwiches on the MXU — `C = (Fr+iFi) X (Fr+iFi)ᵀ` expands to
-    `Cr = Fr X Frᵀ − Fi X Fiᵀ`, `Ci = Fr X Fiᵀ + Fi X Frᵀ`;
+  * the unitary 2-D DFT `F X Fᵀ` is evaluated with the real and imaginary
+    parts of the (symmetric!) 1-D DFT matrix as dense MXU matmul
+    sandwiches — `C = (Fr+iFi)(Xr+iXi)(Fr+iFi)ᵀ` expands into real
+    products;
   * sampling is a static binary mask in the frequency plane (no
     gather/scatter, shapes stay static);
-  * measurements are returned stacked `[vec(M∘Cr); vec(M∘Ci)]` — the
-    standard real form of a complex least-squares system, so every solver
-    in the suite runs unchanged in f32;
-  * ``normal`` is fused: `Re(Fᴴ (M∘(F X Fᵀ)) F̄)` — mask between the two
-    sandwiches, 8+8 real matmuls total, no stacking round-trip.
+  * measurements stack `[re; im]` — the standard real form of a complex
+    least-squares system, so every solver runs unchanged in f32;
+  * ``normal`` is fused (mask between the two sandwiches);
+  * on bf16-input MXUs every constant factor is applied with stacked
+    hi/lo compensation (ops/_precise.py) — ~2e-5 error vs f64 instead of
+    ~4e-3, which matters once CG/FISTA iterate on the operator.
+
+Complex L1 regularization of the split vector is `L21Regularization(λ,
+slices=2)`: the group ℓ2 over (re, im) pairs IS the complex magnitude
+soft-threshold (reference ProxL1.jl:18-22).
 
 Reference counterpart: the sampled-DFT products used by the CS examples
-(/root/reference/docs/src/literate/examples/compressed_sensing.jl); the
+(/root/reference/docs/src/literate/examples/compressed_sensing.jl) and the
+multi-coil stacked operators used by MRIReco.jl (docs/src/index.md:7); the
 split-real evaluation itself is TPU-native design with no Julia analog.
 """
 
@@ -32,9 +37,10 @@ import jax
 import jax.numpy as jnp
 
 from .._pytree import pytree_dataclass, static_field
+from ._precise import mm_left, mm_right, stack_left, stack_right
 from .base import LinearOperator
 
-__all__ = ["SubsampledDFT2RealOperator"]
+__all__ = ["SubsampledDFT2RealOperator", "SenseDFT2RealOperator"]
 
 
 def _dft_factors(n: int):
@@ -42,12 +48,64 @@ def _dft_factors(n: int):
 
     k = np.arange(n)
     w = np.exp(-2j * np.pi * np.outer(k, k) / n) / np.sqrt(n)  # unitary
+    # the DFT matrix is SYMMETRIC (w[j,k] == w[k,j]), so left- and
+    # right-/transposed applications share the same factors
     return w.real.astype(np.float32), w.imag.astype(np.float32)
 
 
+def _dft_cat(h: int, w: int):
+    """Pre-stacked hi/lo compensation factors for both axes."""
+    fr_h, fi_h = _dft_factors(h)
+    fr_w, fi_w = _dft_factors(w)
+    return {
+        "l_fr": jnp.asarray(stack_left(fr_h)),
+        "l_fi": jnp.asarray(stack_left(fi_h)),
+        "r_fr": jnp.asarray(stack_right(fr_w)),
+        "r_fi": jnp.asarray(stack_right(fi_w)),
+    }
+
+
+class _DFTRealBase(LinearOperator):
+    """Shared split-real DFT machinery (factors + compensated multiplies)."""
+
+    def _comp(self):
+        return (
+            self.compensated
+            and jax.default_backend() != "cpu"
+            and self.cat is not None
+        )
+
+    # left-multiply by F factor along H; right-multiply along W (F == Fᵀ)
+    def _lm(self, which, x):
+        if self._comp():
+            return mm_left(self.cat["l_" + which], x)
+        return (self.fr_h if which == "fr" else self.fi_h) @ x
+
+    def _rm(self, x, which):
+        if self._comp():
+            return mm_right(x, self.cat["r_" + which])
+        return x @ (self.fr_w if which == "fr" else self.fi_w)
+
+    def _cfwd(self, xr, xi):
+        """F X Fᵀ of X = xr + i·xi; leading batch axes broadcast."""
+        lr = self._lm("fr", xr) - self._lm("fi", xi)
+        li = self._lm("fr", xi) + self._lm("fi", xr)
+        cr = self._rm(lr, "fr") - self._rm(li, "fi")
+        ci = self._rm(lr, "fi") + self._rm(li, "fr")
+        return cr, ci
+
+    def _cadj(self, cr, ci):
+        """Adjoint of _cfwd: Fᴴ C F̄ (both split components); Fᵀ == F."""
+        lr = self._lm("fr", cr) + self._lm("fi", ci)
+        li = self._lm("fr", ci) - self._lm("fi", cr)
+        xr = self._rm(lr, "fr") + self._rm(li, "fi")
+        xi = self._rm(li, "fr") - self._rm(lr, "fi")
+        return xr, xi
+
+
 @pytree_dataclass
-class SubsampledDFT2RealOperator(LinearOperator):
-    """Real-valued subsampled unitary 2-D DFT on an (H, W) image.
+class SubsampledDFT2RealOperator(_DFTRealBase):
+    """Real-valued subsampled unitary 2-D DFT on a REAL (H, W) image.
 
     in: flat real image (H*W,) — out: stacked real/imag samples (2*H*W,)
     with zeros at unsampled frequencies (mask form keeps shapes static).
@@ -58,13 +116,15 @@ class SubsampledDFT2RealOperator(LinearOperator):
     fr_w: Any
     fi_w: Any
     mask: Any  # (H, W) f32 binary sampling mask
+    cat: Any  # pre-stacked compensation factors (None when disabled)
     im_shape: tuple = static_field()
+    compensated: bool = static_field(default=True)
 
     def __post_init__(self):
         object.__setattr__(self, "im_shape", tuple(self.im_shape))
 
     @classmethod
-    def from_mask(cls, mask, im_shape):
+    def from_mask(cls, mask, im_shape, compensated=True):
         h, w = im_shape
         fr_h, fi_h = _dft_factors(h)
         fr_w, fi_w = _dft_factors(w)
@@ -74,16 +134,18 @@ class SubsampledDFT2RealOperator(LinearOperator):
             fr_w=jnp.asarray(fr_w),
             fi_w=jnp.asarray(fi_w),
             mask=jnp.asarray(mask, jnp.float32).reshape(h, w),
+            cat=_dft_cat(h, w) if compensated else None,
             im_shape=(h, w),
+            compensated=compensated,
         )
 
     @classmethod
-    def from_sample_idx(cls, sample_idx, im_shape):
+    def from_sample_idx(cls, sample_idx, im_shape, compensated=True):
         """Same sampling convention as SubsampledFFTOperator: int indices
         into the flattened (row-major) frequency plane."""
         h, w = im_shape
         m = jnp.zeros((h * w,), jnp.float32).at[jnp.asarray(sample_idx)].set(1.0)
-        return cls.from_mask(m.reshape(h, w), im_shape)
+        return cls.from_mask(m.reshape(h, w), im_shape, compensated)
 
     @property
     def in_size(self) -> int:
@@ -98,43 +160,127 @@ class SubsampledDFT2RealOperator(LinearOperator):
     def dtype(self):
         return jnp.float32
 
-    # -- complex 2-D DFT of a real image, as real sandwiches -------------
-    def _fwd(self, x_img):
-        a = self.fr_h @ x_img  # (H, W)
-        b = self.fi_h @ x_img
-        cr = a @ self.fr_w.T - b @ self.fi_w.T
-        ci = a @ self.fi_w.T + b @ self.fr_w.T
-        return cr, ci
-
-    def _adj(self, cr, ci):
-        """Re(Fᴴ C F̄) for C = cr + i·ci (adjoint of _fwd onto real images).
-
-        Fᴴ = Frᵀ − i Fiᵀ; result = Frᵀ(cr)Fr... expanded and keeping only
-        the real part (the adjoint of R^n → C^(HW) composed with Re-stack).
-        """
-        # left multiply by Fᴴ: (Frᵀ - i Fiᵀ)(cr + i ci)
-        lr = self.fr_h.T @ cr + self.fi_h.T @ ci
-        li = self.fr_h.T @ ci - self.fi_h.T @ cr
-        # right multiply by conj(F)ᵀ = (Fr - i Fi)... C F̄: columns transform
-        # with conj factors: real part of (lr + i li)(Fr - i Fi)... using
-        # (M F̄)ᵀ convention consistent with _fwd's `@ fr_w.T`
-        return lr @ self.fr_w + li @ self.fi_w
-
     def mv(self, x):
         h, w = self.im_shape
-        cr, ci = self._fwd(x.reshape(h, w))
-        cr = cr * self.mask
-        ci = ci * self.mask
-        return jnp.concatenate([cr.reshape(-1), ci.reshape(-1)])
+        xr = x.reshape(h, w)
+        cr, ci = self._cfwd(xr, jnp.zeros_like(xr))
+        return jnp.concatenate(
+            [(cr * self.mask).reshape(-1), (ci * self.mask).reshape(-1)]
+        )
 
     def rmv(self, y):
         h, w = self.im_shape
         n = h * w
         cr = (y[:n].reshape(h, w)) * self.mask
         ci = (y[n:].reshape(h, w)) * self.mask
-        return self._adj(cr, ci).reshape(-1)
+        xr, _ = self._cadj(cr, ci)
+        return xr.reshape(-1)
 
     def normal(self, x):
         h, w = self.im_shape
-        cr, ci = self._fwd(x.reshape(h, w))
-        return self._adj(cr * self.mask, ci * self.mask).reshape(-1)
+        xr = x.reshape(h, w)
+        cr, ci = self._cfwd(xr, jnp.zeros_like(xr))
+        out, _ = self._cadj(cr * self.mask, ci * self.mask)
+        return out.reshape(-1)
+
+
+@pytree_dataclass
+class SenseDFT2RealOperator(_DFTRealBase):
+    """Multi-coil SENSE MRI operator `A = stack_c (M ∘ F ∘ C_c)` in split
+    real/imaginary form — complex image, coil maps, and k-space, all f32.
+
+    A complex image x ∈ ℂ^{HW} is the flat real vector [xr; xi] (2HW,);
+    each coil multiplies by its complex sensitivity map elementwise, the
+    DFT runs as real MXU sandwiches, sampling is a static mask, and
+    measurements stack as (C, 2, H, W) → flat. This is BASELINE.json
+    config #4's measurement model on FFT-less TPU runtimes.
+    """
+
+    fr_h: Any
+    fi_h: Any
+    fr_w: Any
+    fi_w: Any
+    coils_r: Any  # (C, H, W)
+    coils_i: Any  # (C, H, W)
+    mask: Any  # (H, W)
+    cat: Any
+    im_shape: tuple = static_field()
+    compensated: bool = static_field(default=True)
+
+    def __post_init__(self):
+        object.__setattr__(self, "im_shape", tuple(self.im_shape))
+
+    @classmethod
+    def from_maps(cls, coil_maps, mask, im_shape, compensated=True):
+        """coil_maps: complex (C, H, W) ndarray; mask: (H, W) binary."""
+        import numpy as np
+
+        h, w = im_shape
+        fr_h, fi_h = _dft_factors(h)
+        fr_w, fi_w = _dft_factors(w)
+        cm = np.asarray(coil_maps)
+        return cls(
+            fr_h=jnp.asarray(fr_h),
+            fi_h=jnp.asarray(fi_h),
+            fr_w=jnp.asarray(fr_w),
+            fi_w=jnp.asarray(fi_w),
+            coils_r=jnp.asarray(cm.real, jnp.float32),
+            coils_i=jnp.asarray(cm.imag, jnp.float32),
+            mask=jnp.asarray(mask, jnp.float32).reshape(h, w),
+            cat=_dft_cat(h, w) if compensated else None,
+            im_shape=(h, w),
+            compensated=compensated,
+        )
+
+    @property
+    def n_coils(self) -> int:
+        return self.coils_r.shape[0]
+
+    @property
+    def in_size(self) -> int:
+        h, w = self.im_shape
+        return 2 * h * w
+
+    @property
+    def out_size(self) -> int:
+        h, w = self.im_shape
+        return 2 * self.n_coils * h * w
+
+    @property
+    def dtype(self):
+        return jnp.float32
+
+    def _split_x(self, x):
+        h, w = self.im_shape
+        n = h * w
+        return x[:n].reshape(h, w), x[n:].reshape(h, w)
+
+    def _coil_mul(self, xr, xi):
+        ur = self.coils_r * xr - self.coils_i * xi
+        ui = self.coils_r * xi + self.coils_i * xr
+        return ur, ui
+
+    def _coil_adj_sum(self, ur, ui):
+        xr = jnp.sum(self.coils_r * ur + self.coils_i * ui, axis=0)
+        xi = jnp.sum(self.coils_r * ui - self.coils_i * ur, axis=0)
+        return xr, xi
+
+    def mv(self, x):
+        ur, ui = self._coil_mul(*self._split_x(x))
+        kr, ki = self._cfwd(ur, ui)
+        out = jnp.stack([kr * self.mask, ki * self.mask], axis=1)  # (C,2,H,W)
+        return out.reshape(-1)
+
+    def rmv(self, y):
+        h, w = self.im_shape
+        k = y.reshape(self.n_coils, 2, h, w)
+        ur, ui = self._cadj(k[:, 0] * self.mask, k[:, 1] * self.mask)
+        xr, xi = self._coil_adj_sum(ur, ui)
+        return jnp.concatenate([xr.reshape(-1), xi.reshape(-1)])
+
+    def normal(self, x):
+        ur, ui = self._coil_mul(*self._split_x(x))
+        kr, ki = self._cfwd(ur, ui)
+        vr, vi = self._cadj(kr * self.mask, ki * self.mask)
+        xr, xi = self._coil_adj_sum(vr, vi)
+        return jnp.concatenate([xr.reshape(-1), xi.reshape(-1)])

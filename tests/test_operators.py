@@ -223,3 +223,48 @@ def test_subsampled_dft_real_matches_complex_fft(rng):
     np.testing.assert_allclose(
         np.asarray(op_r.normal(x)), np.asarray(op_r.rmv(op_r.mv(x))), atol=1e-5
     )
+
+
+def test_sense_dft_real_matches_complex(rng):
+    """SenseDFT2RealOperator ≡ the complex multi-coil model
+    mask∘fft2(coil_c·x) computed with jnp complex FFTs, for a complex
+    image carried as [re; im]."""
+    h = w = 12
+    n = h * w
+    C = 3
+    maps = (rng.normal(size=(C, h, w)) + 1j * rng.normal(size=(C, h, w))).astype(
+        np.complex64
+    )
+    mask = (rng.uniform(size=(h, w)) < 0.4).astype(np.float32)
+    op = rt.SenseDFT2RealOperator.from_maps(maps, mask, (h, w))
+    xc = (rng.normal(size=(h, w)) + 1j * rng.normal(size=(h, w))).astype(
+        np.complex64
+    )
+    x = jnp.concatenate(
+        [jnp.asarray(xc.real).reshape(-1), jnp.asarray(xc.imag).reshape(-1)]
+    )
+
+    y = np.asarray(op.mv(x)).reshape(C, 2, h, w)
+    for c in range(C):
+        ref = mask * np.fft.fft2(maps[c] * xc, norm="ortho")
+        np.testing.assert_allclose(y[c, 0], ref.real, atol=1e-4)
+        np.testing.assert_allclose(y[c, 1], ref.imag, atol=1e-4)
+
+    # adjoint identity and fused normal
+    yv = jnp.asarray(rng.normal(size=(op.out_size,)), jnp.float32)
+    lhs = float(jnp.vdot(yv, op.mv(x)))
+    rhs = float(jnp.vdot(op.rmv(yv), x))
+    assert abs(lhs - rhs) < 1e-3 * (abs(lhs) + 1)
+    np.testing.assert_allclose(
+        np.asarray(op.normal(x)), np.asarray(op.rmv(op.mv(x))), atol=1e-4
+    )
+
+
+def test_sense_dft_real_unitary_full_mask(rng):
+    """Full sampling + unit coil ⇒ AᴴA = identity (unitary DFT)."""
+    h = w = 8
+    op = rt.SenseDFT2RealOperator.from_maps(
+        np.ones((1, h, w), np.complex64), np.ones((h, w), np.float32), (h, w)
+    )
+    x = jnp.asarray(rng.normal(size=(2 * h * w,)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(op.normal(x)), np.asarray(x), atol=1e-5)

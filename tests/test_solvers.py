@@ -235,3 +235,20 @@ def test_admm_unroll_cg_matches(rng):
     x1 = np.asarray(solve(s1, b))
     x2 = np.asarray(solve(s2, b))
     np.testing.assert_allclose(x2, x1, rtol=0, atol=1e-4)
+
+
+def test_splitbregman_unrolled_runs_all_inner_steps(rng):
+    """solve_unrolled must run iterations x iterations_inner steps for
+    SplitBregman (step() is one INNER iteration), matching the while-loop
+    driver. Regression: it used to run only `iterations` steps."""
+    from rls_tpu.models.solvers import solve_unrolled
+
+    A, xt, b = _tiny_problem(rng)
+    s = rt.SplitBregman.create(
+        A, reg=rt.L1Regularization(1e-4), iterations=3, iterations_inner=12,
+        iterations_cg=8, unroll_cg=True, rho=0.1,
+    )
+    assert s.total_steps == 36
+    x_u = np.asarray(solve_unrolled(s, b))
+    x_w = np.asarray(solve(s, b))
+    np.testing.assert_allclose(x_u, x_w, rtol=0, atol=1e-4)

@@ -1,0 +1,194 @@
+"""BASELINE.json config suite — runs all five reference configurations
+end-to-end on the attached TPU chip and prints one JSON line each
+(accuracy + throughput). bench.py stays the driver's single-line headline
+bench; this suite is the broader evidence.
+
+Configs (BASELINE.json):
+  1. CGNR + L2 on a small dense 64×64 system
+  2. FISTA + L1 compressed sensing, subsampled DFT 256²
+     (split-real MXU DFT — the runtime has no FFT/complex)
+  3. ADMM + TV deblurring, 256² convolution (separable MXU conv,
+     unrolled masked inner CG)
+  4. SplitBregman + (complex-L1 ≙ L21 pairs) + TV, multi-coil SENSE MRI,
+     batched slices (split-real SENSE operator)
+  5. Kaczmarz (randomized) with positivity on a tall sparse-ish system
+
+Usage: python tools/bench_suite.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timeit(f, *args, reps=5):
+    import numpy as np
+
+    out = f(*args)
+    np.asarray(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = f(*args)
+        np.asarray(out)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
+def emit(name, err, dt, unit_count, unit):
+    print(
+        json.dumps(
+            {
+                "config": name,
+                "rel_err": round(float(err), 4),
+                "ms": round(dt * 1e3, 1),
+                "throughput": round(unit_count / dt, 1),
+                "unit": unit,
+            }
+        )
+    )
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+    import rls_tpu as rt
+    from rls_tpu.models.solvers import solve_batched_unrolled, solve_unrolled
+
+    rng = np.random.default_rng(0)
+
+    # ---- 1. CGNR + L2, dense 64×64 --------------------------------------
+    m = 64
+    A = rng.normal(size=(m, m)).astype(np.float32) / np.sqrt(m)
+    xt = rng.normal(size=(m,)).astype(np.float32)
+    b = jnp.asarray(A @ xt)
+    s1 = rt.CGNR.create(
+        rt.DenseOperator(jnp.asarray(A)), reg=rt.L2Regularization(1e-6),
+        iterations=200,
+    )
+    f1 = jax.jit(lambda b_: solve_unrolled(s1, b_))
+    x1 = np.asarray(f1(b))
+    emit("cgnr_l2_dense64", np.linalg.norm(x1 - xt) / np.linalg.norm(xt),
+         timeit(f1, b), 1, "solves/s")
+
+    # ---- 2. FISTA + L1 CS, split-real DFT 256² ---------------------------
+    N = 256
+    n = N * N
+    img = np.zeros((N, N), np.float32)
+    for _ in range(8):
+        i0, j0 = rng.integers(0, N - 20, 2)
+        img[i0:i0 + 12, j0:j0 + 12] += rng.uniform(0.3, 1.0)
+    idx = np.sort(rng.choice(n, size=int(0.35 * n), replace=False))
+    op2 = rt.SubsampledDFT2RealOperator.from_sample_idx(
+        jnp.asarray(idx, jnp.int32), (N, N)
+    )
+    xt2 = jnp.asarray(img.reshape(-1))
+    B2 = jnp.tile(op2.mv(xt2)[:, None], (1, 16))
+    s2 = rt.FISTA.create(op2, reg=rt.L1Regularization(2e-3), iterations=60,
+                         rho=0.95, rel_tol=0.0, track_residual=False)
+    f2 = jax.jit(solve_batched_unrolled)
+    r2 = np.asarray(f2(s2, B2))
+    emit("fista_l1_cs_dft256", np.linalg.norm(r2[:, 0] - np.asarray(xt2))
+         / np.linalg.norm(np.asarray(xt2)), timeit(f2, s2, B2), 16,
+         "problems/s")
+
+    # ---- 3. ADMM + TV deblurring 256² ------------------------------------
+    g = np.exp(-((np.arange(9) - 4) ** 2) / 8.0)
+    k2 = np.outer(g, g)
+    k2 /= k2.sum()
+    op3 = rt.SeparableConvOperator.from_kernel(k2, im_shape=(N, N))
+    img3 = np.zeros((N, N), np.float32)
+    for _ in range(6):
+        i0, j0 = rng.integers(0, N - 40, 2)
+        img3[i0:i0 + 30, j0:j0 + 30] += rng.uniform(0.3, 1.0)
+    xt3 = jnp.asarray(img3.reshape(-1))
+    b3 = op3.mv(xt3)
+    s3 = rt.ADMM.create(
+        op3,
+        reg=rt.TVRegularization(2e-3, shape=(N, N), iterations_tv=8,
+                                unroll=True, backend="pallas"),
+        iterations=12, iterations_cg=6, unroll_cg=True, rho=0.1,
+    )
+    f3 = jax.jit(lambda b_: solve_unrolled(s3, b_))
+    x3 = np.asarray(f3(b3))
+    emit("admm_tv_deblur256", np.linalg.norm(x3 - np.asarray(xt3))
+         / np.linalg.norm(np.asarray(xt3)), timeit(f3, b3), 1, "solves/s")
+
+    # ---- 4. SplitBregman L1+TV multi-coil SENSE, batched slices ----------
+    H = W = 128
+    n4 = H * W
+    C, SLICES = 6, 8
+    # self-contained instance (coil geometry/mask verified well-posed:
+    # FISTA-L21 reaches rel_err 0.03 on it)
+    rng4 = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:H, 0:W] / H
+    maps = np.stack(
+        [(np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) * 2.0) + 0.15)
+         * np.exp(1j * (cx * yy - cy * xx) * 2)
+         for cy, cx in rng4.uniform(0, 1, size=(C, 2))]
+    ).astype(np.complex64)
+    maps /= np.sqrt((np.abs(maps) ** 2).sum(0))
+    mask = (rng4.uniform(size=(H, W)) < 0.45).astype(np.float32)
+    mask[H // 2 - 10:H // 2 + 10, W // 2 - 10:W // 2 + 10] = 1.0
+    op4 = rt.SenseDFT2RealOperator.from_maps(maps, mask, (H, W))
+
+    def phantom(seed):
+        im = np.zeros((H, W), np.complex64)
+        r = np.random.default_rng(seed)
+        for _ in range(5):
+            i0, j0 = r.integers(4, H - 36, 2)
+            im[i0:i0 + 28, j0:j0 + 28] += r.uniform(0.4, 1.0) * np.exp(
+                1j * r.uniform(0, 1))
+        return im
+
+    xs4 = np.stack([phantom(s) for s in range(SLICES)])
+    X4 = jnp.asarray(np.concatenate(
+        [xs4.real.reshape(SLICES, -1), xs4.imag.reshape(SLICES, -1)], axis=1
+    ), jnp.float32)
+    B4 = jax.vmap(op4.mv)(X4).T
+    s4 = rt.SplitBregman.create(
+        op4,
+        reg=[rt.L21Regularization(1e-4, slices=2),
+             rt.TVRegularization(1e-4, shape=(2, H, W), dims=(1, 2),
+                                 iterations_tv=5, unroll=True)],
+        reg_trafo=[rt.IdentityOperator(2 * n4, jnp.float32),
+                   rt.IdentityOperator(2 * n4, jnp.float32)],
+        iterations=4, iterations_inner=8, iterations_cg=8, unroll_cg=True,
+        rho=[0.01, 0.01],
+    )
+    f4 = jax.jit(solve_batched_unrolled)
+    r4 = np.asarray(f4(s4, B4))
+    rec4 = (r4[:n4, :] + 1j * r4[n4:, :]).T.reshape(SLICES, H, W)
+    emit("splitbregman_sense128_6coil",
+         np.linalg.norm(rec4 - xs4) / np.linalg.norm(xs4),
+         timeit(f4, s4, B4), SLICES, "slices/s")
+
+    # ---- 5. randomized Kaczmarz + positivity, tall system ----------------
+    mk, nk = 1024, 256
+    Ak = rng.normal(size=(mk, nk)).astype(np.float32)
+    Ak[rng.uniform(size=Ak.shape) < 0.7] = 0.0  # sparse-ish rows
+    xtk = np.abs(rng.normal(size=(nk,)).astype(np.float32))
+    bk = jnp.asarray(Ak @ xtk)
+    s5 = rt.Kaczmarz.create(
+        rt.DenseOperator(jnp.asarray(Ak)),
+        reg=[rt.L2Regularization(1e-6), rt.PositiveRegularization()],
+        iterations=20, randomized=True, sub_matrix_fraction=0.0625,
+    )
+    f5 = jax.jit(lambda b_: solve_unrolled(s5, b_))
+    x5 = np.asarray(f5(bk))
+    emit("kaczmarz_rand_pos_tall",
+         np.linalg.norm(x5 - xtk) / np.linalg.norm(xtk), timeit(f5, bk),
+         1, "solves/s")
+
+
+if __name__ == "__main__":
+    main()
