@@ -1,4 +1,4 @@
-from .fista_tv_fused import fista_tv_fused, solve_fista_tv_fused
+from .fista_tv_fused import fista_tv_fused, solve_fista_tv_fused, solve_pgm_tv_fused
 from .kaczmarz_pallas import kaczmarz_sweep_pallas
 from .tv_pallas import prox_tv2d_fgp_pallas
 
@@ -7,4 +7,5 @@ __all__ = [
     "kaczmarz_sweep_pallas",
     "fista_tv_fused",
     "solve_fista_tv_fused",
+    "solve_pgm_tv_fused",
 ]

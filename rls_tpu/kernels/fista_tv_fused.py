@@ -31,7 +31,70 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fista_tv_fused", "solve_fista_tv_fused"]
+__all__ = ["fista_tv_fused", "solve_fista_tv_fused", "solve_pgm_tv_fused"]
+
+
+def _momentum_table(method: str, iterations: int, theta0: float = 1.0):
+    """Per-iteration momentum scalars for the proximal-gradient family.
+
+    Every inertial coefficient of FISTA / OptISTA / POGM(no-restart)
+    depends only on the iteration index (and is ρ-independent — ρ factors
+    are applied inside the kernel against the per-problem SMEM ρ), so the
+    whole schedule is precomputed host-side in f64 and shipped as one
+    (iterations, 4) SMEM table:
+
+      col 0: α  (inertia)         col 1: β  (secondary inertia)
+      col 2: γ  (grad/prox scale multiplier on ρ; 1 for FISTA/POGM-grad)
+      col 3: extra — 1/γ (OptISTA z-step) | ρα/γ_old /ρ (POGM coupling)
+
+    Semantics mirror fista.py / optista.py (OptISTA.jl:145-176) /
+    pogm.py (POGM.jl:189-213) exactly, including OptISTA's
+    final-iteration √(1+8θ²) variant.
+    """
+    import numpy as np
+
+    tab = np.zeros((iterations, 4), np.float64)
+    if method == "fista":
+        th_old = th = float(theta0)
+        for i in range(iterations):
+            tab[i, 0] = (th_old - 1.0) / th
+            tab[i, 2] = 1.0
+            th_old, th = th, (1.0 + np.sqrt(1.0 + 4.0 * th * th)) / 2.0
+    elif method == "optista":
+        # θ_N: N-1 standard steps then the 8θ² variant (OptISTA.jl:145-149)
+        tn = float(theta0)
+        for _ in range(iterations - 1):
+            tn = (1.0 + np.sqrt(1.0 + 4.0 * tn * tn)) / 2.0
+        tn = (1.0 + np.sqrt(1.0 + 8.0 * tn * tn)) / 2.0
+        th = float(theta0)
+        for i in range(iterations):
+            gamma = 2.0 * th / tn**2 * (tn**2 - 2.0 * th**2 + th)
+            th_old = th
+            if i == iterations - 1:
+                th = (1.0 + np.sqrt(1.0 + 8.0 * th_old**2)) / 2.0
+            else:
+                th = (1.0 + np.sqrt(1.0 + 4.0 * th_old**2)) / 2.0
+            tab[i, 0] = (th_old - 1.0) / th
+            tab[i, 1] = th_old / th
+            tab[i, 2] = gamma
+            tab[i, 3] = 1.0 / gamma
+    elif method == "pogm":
+        th = float(theta0)
+        gamma_over_rho_old = None  # γ₋₁ = 1 is ρ-dependent, but α₀ = 0
+        for i in range(iterations):
+            th_old = th
+            th = (1.0 + np.sqrt(1.0 + 4.0 * th_old**2)) / 2.0
+            alpha = (th_old - 1.0) / th
+            beta = th_old / th  # σ = 1 without restart
+            gamma_over_rho = (2.0 * th_old + th - 1.0) / th
+            tab[i, 0] = alpha
+            tab[i, 1] = beta
+            tab[i, 2] = gamma_over_rho  # prox scale multiplier on ρ
+            tab[i, 3] = 0.0 if gamma_over_rho_old is None else alpha / gamma_over_rho_old
+            gamma_over_rho_old = gamma_over_rho
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return tab.astype(np.float32)
 
 
 def _split(v):
@@ -45,6 +108,7 @@ def _split(v):
 
 def _kernel(
     scal_ref,  # SMEM (B, 2): per-problem [rho, lam_eff]
+    tab_ref,  # SMEM (iterations, 4): momentum schedule (_momentum_table)
     lcat_ref,  # VMEM (H, 3H): [Bh_hi Bh_hi Bh_lo]
     rcat_ref,  # VMEM (3W, W): [Bw_hi; Bw_hi; Bw_lo] (right factor, pre-T)
     x0_ref,  # VMEM (1, H, W): AᴴB for this problem
@@ -52,6 +116,7 @@ def _kernel(
     *,
     iterations: int,
     tv_iterations: int,
+    method: str,
 ):
     x0hat = x0_ref[0]
     lcat = lcat_ref[...]
@@ -96,12 +161,12 @@ def _kernel(
         th = pltpu.roll(ph, 1, 1) * not_first_col - ph
         return tv + th
 
-    lam_tv = rho * lam
-    lam_safe = jnp.where(lam_tv > 0, lam_tv, 1.0)
-    inv8 = 1.0 / (8.0 * lam_safe)
     zeros = jnp.zeros((H, W), f32)
 
-    def fgp(xg):
+    def fgp(xg, lam_tv):
+        lam_safe = jnp.where(lam_tv > 0, lam_tv, 1.0)
+        inv8 = 1.0 / (8.0 * lam_safe)
+
         def body(_, carry):
             pv, ph, rv, rh, t = carry
             xtmp = xg - lam_tv * gt(rv, rh)
@@ -123,23 +188,43 @@ def _kernel(
         )
         return xg - lam_tv * gt(pv, ph)
 
-    # --- FISTA loop (fista.py step semantics, track_residual=False) ------
-    def fista_body(_, carry):
-        x, x_old, th, th_old = carry
-        al = (th_old - 1.0) / th
-        x_mom = x + al * (x - x_old)
-        res = normal(x_mom) - x0hat
-        xg = x_mom - rho * res
-        x_new = fgp(xg)
-        th_new = (1.0 + jnp.sqrt(1.0 + 4.0 * th * th)) / 2.0
-        return (x_new, x, th_new, th)
+    # --- table-driven proximal-gradient loop ------------------------------
+    # carry = (x, m1, m2); m1/m2 are x_prev (FISTA) or (y, z) (OptISTA/POGM).
+    # Semantics mirror fista.py/optista.py/pogm.py step() exactly (with
+    # track_residual=False, no restart, no projections).
+    def body(i, carry):
+        x, m1, m2 = carry
+        a = tab_ref[i, 0]
+        bcoef = tab_ref[i, 1]
+        g = tab_ref[i, 2]
+        e = tab_ref[i, 3]
+        if method == "fista":
+            x_mom = x + a * (x - m1)
+            res = normal(x_mom) - x0hat
+            x_new = fgp(x_mom - rho * res, rho * lam)
+            return (x_new, x, m2)
+        if method == "optista":
+            y, z = m1, m2
+            res = normal(x) - x0hat
+            y_new = fgp(y - (rho * g) * res, (rho * g) * lam)
+            z_new = x + (y_new - y) * e
+            x_new = (1.0 + a + bcoef) * z_new - a * z - bcoef * x
+            return (x_new, y_new, z_new)
+        # pogm (restart="none", σ = 1)
+        y, z = m1, m2
+        res = normal(x) - x0hat
+        y_new = x - rho * res
+        x_mid = (
+            (1.0 + a + bcoef) * y_new - a * y - (bcoef + e) * x + e * z
+        )
+        x_new = fgp(x_mid, (rho * g) * lam)
+        return (x_new, y_new, x_mid)
 
-    one = jnp.asarray(1.0, f32)
     # initial carries derived from a loaded ref (not a splatted constant):
     # Mosaic refuses to relayout a replicated constant into the loop carry
     x_init = x0hat * 0.0
-    x, _, _, _ = lax.fori_loop(
-        0, iterations, fista_body, (x_init, x_init, one, one)
+    x, _, _ = lax.fori_loop(
+        0, iterations, body, (x_init, x_init, x_init)
     )
     out_ref[0] = x
 
@@ -153,6 +238,7 @@ def fista_tv_fused(
     iterations: int,
     tv_iterations: int,
     interpret: bool = False,
+    method: str = "fista",
 ):
     B, H, W = x0hat_b.shape
     scal = jnp.stack(
@@ -162,6 +248,7 @@ def fista_tv_fused(
         ],
         axis=1,
     )
+    tab = jnp.asarray(_momentum_table(method, iterations))
     # VMEM guard: live set ≈ x, x_old, x0hat, momentum/residual temps, 4 TV
     # duals + 2 stacked concat temps (3×) + the two Gram factor blocks
     vmem_bytes = (12 * H * W + 2 * 3 * H * W + 3 * H * H + 3 * W * W) * 4
@@ -172,10 +259,14 @@ def fista_tv_fused(
         )
     return pl.pallas_call(
         functools.partial(
-            _kernel, iterations=iterations, tv_iterations=tv_iterations
+            _kernel,
+            iterations=iterations,
+            tv_iterations=tv_iterations,
+            method=method,
         ),
         grid=(B,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((H, 3 * H), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * W, W), lambda b: (0, 0), memory_space=pltpu.VMEM),
@@ -186,24 +277,38 @@ def fista_tv_fused(
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, W), x0hat_b.dtype),
         interpret=interpret,
-    )(scal, lcat, rcat, x0hat_b)
+    )(scal, tab, lcat, rcat, x0hat_b)
 
 
 def solve_fista_tv_fused(solver, B_mat, interpret: bool | None = None):
-    """Drop-in fast path for `solve_batched_unrolled(solver, B)` when the
-    solver is FISTA + SeparableConvOperator + 2-D TV (the flagship bench
-    shape). Returns the n×K solution matrix like the composed driver.
+    """Backward-compatible alias of `solve_pgm_tv_fused` for FISTA."""
+    return solve_pgm_tv_fused(solver, B_mat, interpret=interpret)
 
-    Falls back assumptions are *checked*, not silently ignored — callers
-    get a ValueError naming the unsupported piece.
+
+def solve_pgm_tv_fused(solver, B_mat, interpret: bool | None = None):
+    """Drop-in fast path for `solve_batched_unrolled(solver, B)` when the
+    solver is FISTA / OptISTA / POGM + SeparableConvOperator + 2-D TV (the
+    flagship bench shape). Returns the n×K solution matrix like the
+    composed driver.
+
+    Assumptions are *checked*, not silently ignored — callers get a
+    ValueError naming the unsupported piece.
     """
     from ..models.prox import TVRegularization
     from ..models.solvers.fista import FISTA
+    from ..models.solvers.optista import OptISTA
+    from ..models.solvers.pogm import POGM
     from ..ops.base import NormalOperator
     from ..ops.conv_direct import SeparableConvOperator
 
-    if not isinstance(solver, FISTA):
-        raise ValueError("fused path requires a FISTA solver")
+    if isinstance(solver, FISTA):
+        method = "fista"
+    elif isinstance(solver, OptISTA):
+        method = "optista"
+    elif isinstance(solver, POGM):
+        method = "pogm"
+    else:
+        raise ValueError("fused path requires FISTA, OptISTA, or POGM")
     op = solver.AHA
     if isinstance(op, NormalOperator):
         if op.weights is not None:
@@ -221,8 +326,11 @@ def solve_fista_tv_fused(solver, B_mat, interpret: bool | None = None):
         raise ValueError("fused path requires 2-D TV over both axes")
     if solver.proj:
         raise ValueError("fused path does not support projection terms")
-    if solver.restart != "none":
+    if getattr(solver, "restart", "none") != "none":
         raise ValueError("fused path does not support restart")
+    theta0 = getattr(solver, "theta", 1.0)
+    if not isinstance(theta0, jax.core.Tracer) and float(theta0) != 1.0:
+        raise ValueError("fused path requires the default theta=1 schedule")
 
     B_mat = jnp.asarray(B_mat)
     bt = B_mat.T  # (K, n)
@@ -245,5 +353,6 @@ def solve_fista_tv_fused(solver, B_mat, interpret: bool | None = None):
         solver.iterations,
         reg.iterations_tv,
         interpret=interpret,
+        method=method,
     )
     return out.reshape(out.shape[0], H * W).T

@@ -110,3 +110,29 @@ def test_fista_tv_fused_rejects_unsupported(rng):
     s = rt.FISTA.create(A, reg=rt.L1Regularization(1e-3), iterations=3, rho=0.1)
     with pytest.raises(ValueError):
         solve_fista_tv_fused(s, jnp.zeros((n, 2), jnp.float32))
+
+
+@pytest.mark.parametrize("name", ["OptISTA", "POGM"])
+def test_pgm_tv_fused_matches_composed(rng, name):
+    """The generalized fused kernel must reproduce OptISTA/POGM composed
+    solves (table-driven momentum schedules)."""
+    import jax
+
+    from rls_tpu.kernels import solve_pgm_tv_fused
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    n, batch = 24, 3
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=4, unroll=True)
+    solver = rt.create_linear_solver(
+        name, op, reg=reg, iterations=7, rho=0.9, rel_tol=0.0,
+        track_residual=False, kwarg_warning=False,
+    )
+    X = jnp.asarray(rng.normal(size=(batch, n * n)), jnp.float32)
+    B = jax.vmap(op.mv)(X).T
+    want = np.asarray(jax.jit(solve_batched_unrolled)(solver, B))
+    got = np.asarray(solve_pgm_tv_fused(solver, B))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
