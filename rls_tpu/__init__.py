@@ -55,12 +55,16 @@ from .models.solvers import (
     solve_trace,
     solve_unrolled,
     solve_with_callbacks,
+    solver_convergence,
+    solver_solution,
 )
 from .registry import (
     applicable_solver_list,
     create_linear_solver,
+    deinit,
     is_applicable,
     linear_solver_list,
+    linear_solver_list_real,
 )
 from .ops import (
     ConvolutionOperator,

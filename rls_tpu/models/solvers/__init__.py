@@ -2,6 +2,8 @@ from .admm import ADMM
 from .base import (
     LinearSolver,
     pcg,
+    solver_convergence,
+    solver_solution,
     solve,
     solve_batched,
     solve_batched_unrolled,
@@ -28,6 +30,8 @@ __all__ = [
     "solve_unrolled",
     "solve_batched_unrolled",
     "pcg",
+    "solver_solution",
+    "solver_convergence",
     "CGNR",
     "FISTA",
     "OptISTA",

@@ -78,6 +78,20 @@ def linear_solver_list() -> list[Type[LinearSolver]]:
     return list(_ALL)
 
 
+def linear_solver_list_real() -> list[Type[LinearSolver]]:
+    """Reflection-style full solver list, including the upstream-disabled
+    row-action/primal-dual extras (reference linearSolverListReal — the
+    unfiltered `subtypes` union, RegularizedLeastSquares.jl:218-220)."""
+    return list(_ALL) + list(_EXTRA)
+
+
+def deinit(solver: LinearSolver) -> None:
+    """Reference API shim (`deinit`): frees per-solve buffers there. Our
+    states are immutable pytrees owned by the caller, so there is nothing
+    to release — provided for call-site compatibility."""
+    return None
+
+
 def solver_by_name(name: str) -> Type[LinearSolver]:
     for cls in _ALL + _EXTRA:
         if cls.__name__.lower() == name.lower():
