@@ -81,10 +81,13 @@ def main():
     N, BATCH, ITERS = 256, 64, 50
     solver, B, xs_true = build_problem(N, BATCH, ITERS)
 
-    solve_fn = jax.jit(lambda solver, B: solve_fista_tv_fused(solver, B))
+    # solver is closed over (not a jit argument): the fused wrapper builds
+    # its momentum table host-side from solver.theta, which must stay
+    # concrete
+    solve_fn = jax.jit(lambda B_: solve_fista_tv_fused(solver, B_))
 
     # warmup / compile
-    out = solve_fn(solver, B)
+    out = solve_fn(B)
     res = np.asarray(out)  # force full materialization on host
     assert np.isfinite(res).all()
 
@@ -98,7 +101,7 @@ def main():
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = solve_fn(solver, B)
+            out = solve_fn(B)
         np.asarray(out)
         best = min(best, (time.perf_counter() - t0) / reps)
     dt = best

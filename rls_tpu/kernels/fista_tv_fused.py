@@ -97,13 +97,10 @@ def _momentum_table(method: str, iterations: int, theta0: float = 1.0):
     return tab.astype(np.float32)
 
 
-def _split(v):
-    # bit-masked bf16 hi/lo split (see ops/conv_direct.py:_split_bf16 —
-    # cast round-trips get elided by the XLA/Mosaic simplifier, bit ops
-    # don't, and the masked hi part converts to bf16 losslessly in the MXU)
-    vi = lax.bitcast_convert_type(v, jnp.uint32)
-    hi = lax.bitcast_convert_type(vi & jnp.uint32(0xFFFF0000), jnp.float32)
-    return hi, v - hi
+# bit-masked bf16 hi/lo split (shared helper — cast round-trips get elided
+# by the XLA/Mosaic simplifier, bit ops don't, and the masked hi part
+# converts to bf16 losslessly in the MXU); pure jnp/lax, Mosaic-lowerable
+from ..ops._precise import split_bf16 as _split  # noqa: E402
 
 
 def _kernel(
@@ -309,27 +306,46 @@ def solve_pgm_tv_fused(solver, B_mat, interpret: bool | None = None):
         method = "pogm"
     else:
         raise ValueError("fused path requires FISTA, OptISTA, or POGM")
-    op = solver.AHA
-    if isinstance(op, NormalOperator):
-        if op.weights is not None:
-            raise ValueError("fused path does not support weighted normal ops")
-        op = op.A
+    # the kernel applies the GRAM factors of A, so AHA must actually be
+    # A's NormalOperator — a bare operator passed as AHA means "this IS
+    # AᴴA already", which the kernel cannot honor (it would square it)
+    if not isinstance(solver.AHA, NormalOperator):
+        raise ValueError(
+            "fused path requires AHA to be the NormalOperator of a "
+            "SeparableConvOperator (construct the solver from A, not AHA)"
+        )
+    if solver.AHA.weights is not None:
+        raise ValueError("fused path does not support weighted normal ops")
+    op = solver.AHA.A
     if not isinstance(op, SeparableConvOperator):
         raise ValueError("fused path requires SeparableConvOperator")
+    if solver.A is None:
+        raise ValueError("fused path requires solver.A (for x0hat = Aᴴb)")
     if op.cat is None:
         raise ValueError("fused path requires compensated=True factors")
     reg = solver.reg
     if not isinstance(reg, TVRegularization):
         raise ValueError("fused path requires TVRegularization")
     H, W = op.im_shape
-    if reg.shape != (H, W) or tuple(sorted(reg.dims)) != (0, 1):
+    dims = (reg.dims,) if isinstance(reg.dims, int) else tuple(reg.dims)
+    if reg.shape != (H, W) or tuple(sorted(dims)) != (0, 1):
         raise ValueError("fused path requires 2-D TV over both axes")
     if solver.proj:
         raise ValueError("fused path does not support projection terms")
     if getattr(solver, "restart", "none") != "none":
         raise ValueError("fused path does not support restart")
     theta0 = getattr(solver, "theta", 1.0)
-    if not isinstance(theta0, jax.core.Tracer) and float(theta0) != 1.0:
+    if isinstance(theta0, jax.core.Tracer):
+        # the momentum table is built host-side from theta — a traced theta
+        # cannot be validated and a silent theta=1 assumption would return
+        # WRONG results; close the solver over jit instead of passing it
+        # as a traced argument
+        raise ValueError(
+            "fused path needs a concrete solver.theta; close the solver "
+            "over jax.jit (jit(lambda B: solve_pgm_tv_fused(solver, B))) "
+            "instead of passing it as a jit argument"
+        )
+    if float(theta0) != 1.0:
         raise ValueError("fused path requires the default theta=1 schedule")
 
     B_mat = jnp.asarray(B_mat)

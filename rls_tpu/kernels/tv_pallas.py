@@ -116,9 +116,15 @@ def prox_tv2d_fgp_pallas(x, lam, im_shape, iterations: int, interpret: bool = Fa
     orig_shape = x.shape
     xb = x.reshape(-1, H, W)
     B = xb.shape[0]
-    lamb = jnp.broadcast_to(jnp.asarray(lam, xb.dtype).reshape(-1), (B,)) if (
-        jnp.ndim(lam) <= 1
-    ) else jnp.asarray(lam, xb.dtype).reshape(B)
+    # broadcast λ against the leading (batch) axes, then flatten — handles
+    # scalar, per-problem (B,), and multi-axis batches with partial λ shapes
+    lam_arr = jnp.asarray(lam, xb.dtype)
+    if lam_arr.ndim == 0:
+        lamb = jnp.broadcast_to(lam_arr, (B,))
+    elif len(orig_shape) == 1:  # unbatched x with a (1,)-shaped λ
+        lamb = lam_arr.reshape((B,))
+    else:
+        lamb = jnp.broadcast_to(lam_arr, orig_shape[:-1]).reshape(-1)
 
     fn = _make_vmappable(H, W, iterations, interpret)
     out = fn(xb, lamb)

@@ -182,9 +182,12 @@ def pcg(
         rz_new = jnp.vdot(r, z)
         if masked:
             beta = jnp.where(rz == 0, 0.0, rz_new / jnp.where(rz == 0, 1.0, rz))
+            # freeze the search direction too: once converged, rz_new == rz
+            # makes beta = 1 and p would grow by z every remaining step
+            p = jnp.where(active, z + beta * p, p)
         else:
             beta = rz_new / rz
-        p = z + beta * p
+            p = z + beta * p
         return (x, r, p, rz_new, i + 1)
 
     init = (x0, r0, z0, jnp.vdot(r0, z0), 0)

@@ -95,26 +95,8 @@ def _banded(n: int, taps) -> "Any":
     return m
 
 
-def _mm(a, b, compensate: bool):
-    """a @ b with f32 accuracy on MXUs whose inputs are bf16.
-
-    TPU MXUs accumulate in f32 but round *inputs* to bfloat16 (and the
-    restricted axon runtime ignores ``precision=HIGHEST``), so a plain f32
-    matmul carries ~4e-3 relative input-rounding error. Splitting each
-    operand into bf16 hi/lo parts and summing three products recovers
-    ~1e-5 relative accuracy at 3× the (cheap, MXU-bound) matmul cost:
-    a@b = (ah+al)@(bh+bl) ≈ ah@bh + ah@bl + al@bh.
-    """
-    if not compensate:
-        return a @ b
-    ah, al = _split_bf16(a)
-    bh, bl = _split_bf16(b)
-    return ah @ bh + (ah @ bl + al @ bh)
-
-
 # shared bf16-compensation helpers (see ops/_precise.py for the why)
 from ._precise import (  # noqa: E402
-    np_split_bf16 as _np_split_bf16,
     split_bf16 as _split_bf16,
     stack_left as _stack_left,
     stack_right as _stack_right,

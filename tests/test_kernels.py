@@ -136,3 +136,38 @@ def test_pgm_tv_fused_matches_composed(rng, name):
     want = np.asarray(jax.jit(solve_batched_unrolled)(solver, B))
     got = np.asarray(solve_pgm_tv_fused(solver, B))
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+
+def test_fused_guards(rng):
+    """Wrapper guards: ValueError (not silent wrongness / TypeError) for
+    theta≠1, traced theta, AHA-passed-directly, and 1-D TV dims."""
+    import jax
+
+    from rls_tpu.kernels import solve_pgm_tv_fused
+
+    n = 16
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=3, unroll=True)
+    B = jnp.zeros((n * n, 2), jnp.float32)
+
+    s_theta = rt.FISTA.create(op, reg=reg, iterations=3, rho=0.9, theta=3.0)
+    with pytest.raises(ValueError, match="theta"):
+        solve_pgm_tv_fused(s_theta, B)
+
+    s_ok = rt.FISTA.create(op, reg=reg, iterations=3, rho=0.9)
+    with pytest.raises(ValueError, match="concrete solver.theta"):
+        # solver as a traced jit argument -> theta is a tracer
+        jax.jit(lambda s, b: solve_pgm_tv_fused(s, b))(s_ok, B)
+
+    s_aha = rt.FISTA.create(A=op, AHA=op, reg=reg, iterations=3, rho=0.9)
+    with pytest.raises(ValueError, match="NormalOperator"):
+        solve_pgm_tv_fused(s_aha, B)
+
+    reg1d = rt.TVRegularization(1e-3, shape=(n, n), dims=0, iterations_tv=3,
+                                unroll=True)
+    s_1d = rt.FISTA.create(op, reg=reg1d, iterations=3, rho=0.9)
+    with pytest.raises(ValueError, match="both axes"):
+        solve_pgm_tv_fused(s_1d, B)

@@ -159,20 +159,21 @@ def test_separable_conv_rejects_nonseparable():
         rt.SeparableConvOperator.from_kernel(kern, im_shape=(16, 16))
 
 
-def test_separable_conv_from_taps_compensation(rng):
-    """Compensated path is a no-op on CPU but must still be numerically
-    equal when forced through the hi/lo split formula."""
-    from rls_tpu.ops.conv_direct import _mm
+def test_stacked_bf16_compensation_helpers(rng):
+    """The stacked single-matmul compensation (the production path inside
+    SeparableConvOperator/DFT operators) must recover near-f64 accuracy."""
+    from rls_tpu.ops._precise import mm_left, mm_right, stack_left, stack_right
 
     a64 = rng.normal(size=(24, 24))
     b64 = rng.normal(size=(24, 24))
-    a = jnp.asarray(a64, jnp.float32)
-    b = jnp.asarray(b64, jnp.float32)
-    got = np.asarray(_mm(a, b, True))
-    ref = a64 @ b64
+    x = jnp.asarray(b64, jnp.float32)
+    got_l = np.asarray(mm_left(jnp.asarray(stack_left(a64)), x))
+    got_r = np.asarray(mm_right(x, jnp.asarray(stack_right(b64.T))))
+    ref_l = a64 @ b64
+    ref_r = b64 @ b64.T
     # hi/lo split drops only the lo@lo term: ~ (2^-8)^2 relative
-    err = np.abs(got - ref).max() / np.abs(ref).max()
-    assert err < 5e-4, err
+    assert np.abs(got_l - ref_l).max() / np.abs(ref_l).max() < 5e-4
+    assert np.abs(got_r - ref_r).max() / np.abs(ref_r).max() < 5e-4
 
 
 def test_power_iterations_subdominant_start():

@@ -38,9 +38,7 @@ def banded(n, taps):
     return m
 
 
-Ah = jnp.asarray(banded(N, g / np.sqrt(kern.sum() / (g.sum() ** 2) * 1.0) if False else g))
-# normalize so Ah ⊗ Aw == kern: kern = outer(g,g)/sum → scale 1/sum splits
-s = np.sqrt(kern.sum() * 0 + (g @ np.ones_like(g)) ** 2)  # g outer g sums to s^2
+# kern = outer(g, g) / (Σg)², so the per-axis factor is g/Σg
 Ah = jnp.asarray(banded(N, (g / g.sum()).astype(np.float32)))
 Aw = Ah
 Bh = Ah.T @ Ah  # normal-op banded factors (17-band)
