@@ -1,0 +1,292 @@
+"""Fully-fused ADMM-TV solve as ONE Pallas TPU kernel.
+
+BASELINE config #3 (ADMM with TV regularization and a CG inner solve on a
+256² convolution operator) as a single kernel per problem: the masked
+inner CG (matvec = compensated Gram sandwich + ρ·v), the TV-FGP z-update,
+and the dual update all run VMEM-resident for the full outer iteration
+budget — the ADMM sibling of kernels/fista_tv_fused.py.
+
+Semantics mirror admm.py step() exactly for the supported configuration
+(single TV term, identity reg_trafo, vary_rho="none", no preconditioner,
+no projections, fixed iterations; reference ADMM.jl:230-309):
+
+    β   = Aᴴb + ρ(z − u)
+    x   = CG(AᴴA + ρI, β, x₀=x, maxiter=cg_iters, ‖r‖ ≤ tol_inner·‖β‖)
+    z   = prox_TV(x + u, λ_eff / 2ρ)
+    u   = u + x − z
+
+The CG uses the same MASKED fixed-iteration form as pcg(unroll=True):
+steps freeze (α = 0, p frozen) once ‖r‖ drops below the target, so the
+kernel matches the composed `unroll_cg=True` solver bit-for-bit in
+structure.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops._precise import split_bf16 as _split
+
+__all__ = ["admm_tv_fused", "solve_admm_tv_fused"]
+
+
+def _kernel(
+    scal_ref,  # SMEM (B, 2): per-problem [rho, lam_eff]
+    lcat_ref,  # VMEM (H, 3H): stacked Gram left factor
+    rcat_ref,  # VMEM (3W, W): stacked Gram right factor
+    x0_ref,  # VMEM (1, H, W): Aᴴb
+    out_ref,  # VMEM (1, H, W)
+    *,
+    iterations: int,
+    cg_iterations: int,
+    tv_iterations: int,
+    tol_inner: float,
+):
+    x0hat = x0_ref[0]
+    lcat = lcat_ref[...]
+    rcat = rcat_ref[...]
+    b = pl.program_id(0)
+    rho = scal_ref[b, 0]
+    lam = scal_ref[b, 1]
+    H, W = x0hat.shape
+    f32 = x0hat.dtype
+
+    def normal(u):
+        uh, ul = _split(u)
+        m = jnp.dot(
+            lcat,
+            jnp.concatenate([uh, ul, uh], axis=0),
+            preferred_element_type=f32,
+        )
+        mh, ml = _split(m)
+        return jnp.dot(
+            jnp.concatenate([mh, ml, mh], axis=1),
+            rcat,
+            preferred_element_type=f32,
+        )
+
+    def matvec(v):  # composite AᴴA + ρI
+        return normal(v) + rho * v
+
+    def frob(u):
+        return jnp.sqrt(jnp.sum(u * u))
+
+    def cg(beta, x_init):
+        # masked fixed-iteration CG == pcg(unroll=True) (base.py)
+        target = tol_inner * frob(beta)
+        r0 = beta - matvec(x_init)
+
+        def body(_, carry):
+            xc, r, p, rz = carry
+            q = matvec(p)
+            pq = jnp.sum(p * q)
+            active = frob(r) > target
+            denom = jnp.where(pq == 0, 1.0, pq)
+            alpha = jnp.where(active, rz / denom, 0.0)
+            xc = xc + alpha * p
+            r = r - alpha * q
+            rz_new = jnp.sum(r * r)
+            beta_c = jnp.where(rz == 0, 0.0, rz_new / jnp.where(rz == 0, 1.0, rz))
+            p = jnp.where(active, r + beta_c * p, p)
+            return (xc, r, p, rz_new)
+
+        xc, _, _, _ = lax.fori_loop(
+            0, cg_iterations, body, (x_init, r0, r0, jnp.sum(r0 * r0))
+        )
+        return xc
+
+    # --- TV-FGP prox (identical to fista_tv_fused.py) ---------------------
+    row = lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    col = lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    not_last_row = (row < H - 1).astype(f32)
+    not_last_col = (col < W - 1).astype(f32)
+    not_first_row = (row > 0).astype(f32)
+    not_first_col = (col > 0).astype(f32)
+
+    def gv(u):
+        return (pltpu.roll(u, H - 1, 0) - u) * not_last_row
+
+    def gh(u):
+        return (pltpu.roll(u, W - 1, 1) - u) * not_last_col
+
+    def gt(pv, ph):
+        tv = pltpu.roll(pv, 1, 0) * not_first_row - pv
+        th = pltpu.roll(ph, 1, 1) * not_first_col - ph
+        return tv + th
+
+    zeros = jnp.zeros((H, W), f32)
+
+    def fgp(xg, lam_tv):
+        lam_safe = jnp.where(lam_tv > 0, lam_tv, 1.0)
+        inv8 = 1.0 / (8.0 * lam_safe)
+
+        def body(_, carry):
+            pv, ph, rv, rh, t = carry
+            xtmp = xg - lam_tv * gt(rv, rh)
+            qv = rv + gv(xtmp) * inv8
+            qh = rh + gh(xtmp) * inv8
+            qv = qv / jnp.maximum(1.0, jnp.abs(qv))
+            qh = qh / jnp.maximum(1.0, jnp.abs(qh))
+            t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) / 2.0
+            t2 = (t - 1.0) / t_new
+            rv_new = (1.0 + t2) * qv - t2 * pv
+            rh_new = (1.0 + t2) * qh - t2 * ph
+            return (qv, qh, rv_new, rh_new, t_new)
+
+        pv, ph, _, _, _ = lax.fori_loop(
+            0,
+            tv_iterations,
+            body,
+            (zeros, zeros, zeros, zeros, jnp.asarray(1.0, f32)),
+        )
+        return xg - lam_tv * gt(pv, ph)
+
+    # --- ADMM outer loop ---------------------------------------------------
+    rho_safe = jnp.where(rho != 0, rho, 1.0)
+    lam_z = lam / (2.0 * rho_safe)
+
+    def admm_body(_, carry):
+        x, z, u = carry
+        beta = x0hat + rho * (z - u)
+        x = cg(beta, x)
+        zi = fgp(x + u, lam_z)
+        z = jnp.where(rho != 0, zi, x + u)
+        u = u + x - z
+        return (x, z, u)
+
+    # initial carries derived from a loaded ref (not a splatted constant)
+    x_init = x0hat * 0.0
+    x, _, _ = lax.fori_loop(
+        0, iterations, admm_body, (x_init, x_init, x_init)
+    )
+    out_ref[0] = x
+
+
+def admm_tv_fused(
+    x0hat_b,  # (B, H, W) f32: Aᴴb per problem
+    lcat,
+    rcat,
+    rho,  # scalar or (B,)
+    lam,  # scalar or (B,): effective λ (normalization-scaled)
+    iterations: int,
+    cg_iterations: int,
+    tv_iterations: int,
+    tol_inner: float,
+    interpret: bool = False,
+):
+    B, H, W = x0hat_b.shape
+    scal = jnp.stack(
+        [
+            jnp.broadcast_to(jnp.asarray(rho, jnp.float32).reshape(-1), (B,)),
+            jnp.broadcast_to(jnp.asarray(lam, jnp.float32).reshape(-1), (B,)),
+        ],
+        axis=1,
+    )
+    vmem_bytes = (14 * H * W + 2 * 3 * H * W + 3 * H * H + 3 * W * W) * 4
+    if vmem_bytes > 100 * 1024 * 1024:
+        raise ValueError(
+            f"fused ADMM-TV working set ~{vmem_bytes/2**20:.0f} MiB exceeds "
+            "VMEM; use the composed solve path"
+        )
+    return pl.pallas_call(
+        functools.partial(
+            _kernel,
+            iterations=iterations,
+            cg_iterations=cg_iterations,
+            tv_iterations=tv_iterations,
+            tol_inner=tol_inner,
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((H, 3 * H), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * W, W), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, W), x0hat_b.dtype),
+        interpret=interpret,
+    )(scal, lcat, rcat, x0hat_b)
+
+
+def solve_admm_tv_fused(solver, B_mat, interpret: bool | None = None):
+    """Drop-in fast path for `solve_batched_unrolled(solver, B)` when the
+    solver is ADMM + SeparableConvOperator + one identity-trafo 2-D TV term
+    (BASELINE config #3's shape). Returns the n×K solution matrix.
+
+    Assumptions are checked — callers get a ValueError naming the
+    unsupported piece.
+    """
+    from ..models.prox import TVRegularization
+    from ..models.regularization import normalization_factor
+    from ..models.solvers.admm import ADMM
+    from ..ops.base import IdentityOperator, NormalOperator
+    from ..ops.conv_direct import SeparableConvOperator
+
+    if not isinstance(solver, ADMM):
+        raise ValueError("fused path requires an ADMM solver")
+    if not isinstance(solver.AHA, NormalOperator) or solver.AHA.weights is not None:
+        raise ValueError(
+            "fused path requires AHA to be the NormalOperator of a "
+            "SeparableConvOperator (construct the solver from A, not AHA)"
+        )
+    op = solver.AHA.A
+    if not isinstance(op, SeparableConvOperator):
+        raise ValueError("fused path requires SeparableConvOperator")
+    if op.cat is None:
+        raise ValueError("fused path requires compensated=True factors")
+    if solver.A is None:
+        raise ValueError("fused path requires solver.A (for Aᴴb)")
+    if len(solver.reg) != 1 or not isinstance(solver.reg[0], TVRegularization):
+        raise ValueError("fused path requires exactly one TVRegularization term")
+    if not isinstance(solver.reg_trafo[0], IdentityOperator):
+        raise ValueError("fused path requires an identity reg_trafo")
+    reg = solver.reg[0]
+    H, W = op.im_shape
+    dims = (reg.dims,) if isinstance(reg.dims, int) else tuple(reg.dims)
+    if reg.shape != (H, W) or tuple(sorted(dims)) != (0, 1):
+        raise ValueError("fused path requires 2-D TV over both axes")
+    if solver.proj:
+        raise ValueError("fused path does not support projection terms")
+    if solver.vary_rho != "none":
+        raise ValueError("fused path does not support vary_rho")
+    if solver.precon is not None:
+        raise ValueError("fused path does not support a preconditioner")
+    tol_inner = solver.tol_inner
+    if isinstance(tol_inner, jax.core.Tracer):
+        raise ValueError(
+            "fused path needs a concrete tol_inner; close the solver over "
+            "jax.jit instead of passing it as a jit argument"
+        )
+
+    B_mat = jnp.asarray(B_mat)
+    bt = B_mat.T
+    x0hat_b = jax.vmap(solver.A.rmv)(bt).reshape(-1, H, W)
+    scale = jax.vmap(
+        lambda b: normalization_factor(solver.normalize_reg, solver.A, b)
+    )(bt)
+    lam_eff = reg.get_lam() * scale
+    lcat, rcat = op.cat["normal"]
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    out = admm_tv_fused(
+        x0hat_b,
+        lcat,
+        rcat,
+        solver.rho0[0],
+        lam_eff,
+        solver.iterations,
+        solver.iterations_cg,
+        reg.iterations_tv,
+        float(tol_inner),
+        interpret=interpret,
+    )
+    return out.reshape(out.shape[0], H * W).T

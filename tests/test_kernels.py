@@ -171,3 +171,38 @@ def test_fused_guards(rng):
     s_1d = rt.FISTA.create(op, reg=reg1d, iterations=3, rho=0.9)
     with pytest.raises(ValueError, match="both axes"):
         solve_pgm_tv_fused(s_1d, B)
+
+
+def test_admm_tv_fused_matches_composed(rng):
+    """The fused ADMM-TV kernel must reproduce the composed unrolled ADMM
+    (masked inner CG + TV prox + dual update) to f32 tolerance."""
+    import jax
+
+    from rls_tpu.kernels import solve_admm_tv_fused
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    n, batch = 24, 3
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=4, unroll=True)
+    solver = rt.ADMM.create(
+        op, reg=reg, iterations=6, iterations_cg=5, unroll_cg=True, rho=0.1
+    )
+    X = jnp.asarray(rng.normal(size=(batch, n * n)), jnp.float32)
+    B = jax.vmap(op.mv)(X).T
+    want = np.asarray(jax.jit(solve_batched_unrolled)(solver, B))
+    got = np.asarray(solve_admm_tv_fused(solver, B))
+    # composed CPU path uses plain f32 matmuls, the kernel compensated ones
+    np.testing.assert_allclose(got, want, rtol=0, atol=3e-4)
+
+
+def test_admm_tv_fused_rejects_unsupported(rng):
+    from rls_tpu.kernels import solve_admm_tv_fused
+
+    n = 8
+    A = rt.DenseOperator(jnp.asarray(rng.normal(size=(n, n)), jnp.float32))
+    s = rt.ADMM.create(A, reg=rt.L1Regularization(1e-3), iterations=3)
+    with pytest.raises(ValueError):
+        solve_admm_tv_fused(s, jnp.zeros((n, 2), jnp.float32))

@@ -118,11 +118,13 @@ def main():
                                 unroll=True, backend="pallas"),
         iterations=12, iterations_cg=6, unroll_cg=True, rho=0.1,
     )
+    from rls_tpu.kernels import solve_admm_tv_fused
+
     B3 = jnp.tile(b3[:, None], (1, 16))
-    f3 = jax.jit(solve_batched_unrolled)
-    x3 = np.asarray(f3(s3, B3))
-    emit("admm_tv_deblur256_b16", np.linalg.norm(x3[:, 0] - np.asarray(xt3))
-         / np.linalg.norm(np.asarray(xt3)), timeit(f3, s3, B3), 16,
+    f3 = jax.jit(lambda B_: solve_admm_tv_fused(s3, B_))
+    x3 = np.asarray(f3(B3))
+    emit("admm_tv_deblur256_b16_fused", np.linalg.norm(x3[:, 0] - np.asarray(xt3))
+         / np.linalg.norm(np.asarray(xt3)), timeit(f3, B3), 16,
          "problems/s")
 
     # ---- 4. SplitBregman L1+TV multi-coil SENSE, batched slices ----------
