@@ -106,18 +106,19 @@ def _kernel(
     col = lax.broadcasted_iota(jnp.int32, (H, W), 1)
     not_last_row = (row < H - 1).astype(f32)
     not_last_col = (col < W - 1).astype(f32)
-    not_first_row = (row > 0).astype(f32)
-    not_first_col = (col > 0).astype(f32)
 
+    # dual fields keep an exactly-zero last row/col (re-masked at the
+    # clamp), so roll wrap-around brings zeros and gt needs no masks —
+    # saves 4 VPU mask-multiplies per FGP iteration
     def gv(u):
-        return (pltpu.roll(u, H - 1, 0) - u) * not_last_row
+        return pltpu.roll(u, H - 1, 0) - u
 
     def gh(u):
-        return (pltpu.roll(u, W - 1, 1) - u) * not_last_col
+        return pltpu.roll(u, W - 1, 1) - u
 
     def gt(pv, ph):
-        tv = pltpu.roll(pv, 1, 0) * not_first_row - pv
-        th = pltpu.roll(ph, 1, 1) * not_first_col - ph
+        tv = pltpu.roll(pv, 1, 0) - pv
+        th = pltpu.roll(ph, 1, 1) - ph
         return tv + th
 
     zeros = jnp.zeros((H, W), f32)
@@ -131,8 +132,8 @@ def _kernel(
             xtmp = xg - lam_tv * gt(rv, rh)
             qv = rv + gv(xtmp) * inv8
             qh = rh + gh(xtmp) * inv8
-            qv = qv / jnp.maximum(1.0, jnp.abs(qv))
-            qh = qh / jnp.maximum(1.0, jnp.abs(qh))
+            qv = qv / jnp.maximum(1.0, jnp.abs(qv)) * not_last_row
+            qh = qh / jnp.maximum(1.0, jnp.abs(qh)) * not_last_col
             t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) / 2.0
             t2 = (t - 1.0) / t_new
             rv_new = (1.0 + t2) * qv - t2 * pv

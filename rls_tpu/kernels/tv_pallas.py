@@ -48,20 +48,20 @@ def _kernel(lam_ref, x_ref, out_ref, *, iterations: int):
     col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     not_last_row = (row < H - 1).astype(x.dtype)
     not_last_col = (col < W - 1).astype(x.dtype)
-    not_first_row = (row > 0).astype(x.dtype)
-    not_first_col = (col > 0).astype(x.dtype)
 
-    def gv(u):  # forward diff along rows, last row = 0
-        return (pltpu.roll(u, H - 1, 0) - u) * not_last_row
+    # the dual fields keep an exactly-zero last row/col (the clamp below
+    # re-masks them every iteration), so the roll wrap-around brings zeros
+    # and gt needs NO masks; gv/gh masking moves into the clamp — saves
+    # 4 VPU mask-multiplies per FGP iteration
+    def gv(u):  # forward diff along rows (last row masked at the clamp)
+        return pltpu.roll(u, H - 1, 0) - u
 
-    def gh(u):  # forward diff along cols, last col = 0
-        return (pltpu.roll(u, W - 1, 1) - u) * not_last_col
+    def gh(u):  # forward diff along cols (last col masked at the clamp)
+        return pltpu.roll(u, W - 1, 1) - u
 
-    def gt(pv, ph):
-        # adjoint (negative divergence); pv/ph have zero last row/col by
-        # construction (gv/gh mask them), so the rolled-in wrap rows are 0
-        tv = pltpu.roll(pv, 1, 0) * not_first_row - pv
-        th = pltpu.roll(ph, 1, 1) * not_first_col - ph
+    def gt(pv, ph):  # adjoint (negative divergence); wrap rows are zero
+        tv = pltpu.roll(pv, 1, 0) - pv
+        th = pltpu.roll(ph, 1, 1) - ph
         return tv + th
 
     zeros = jnp.zeros_like(x)
@@ -71,8 +71,8 @@ def _kernel(lam_ref, x_ref, out_ref, *, iterations: int):
         xtmp = x - lam * gt(rv, rh)
         qv = rv + gv(xtmp) * inv8
         qh = rh + gh(xtmp) * inv8
-        qv = qv / jnp.maximum(1.0, jnp.abs(qv))
-        qh = qh / jnp.maximum(1.0, jnp.abs(qh))
+        qv = qv / jnp.maximum(1.0, jnp.abs(qv)) * not_last_row
+        qh = qh / jnp.maximum(1.0, jnp.abs(qh)) * not_last_col
         t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) / 2.0
         t2 = (t - 1.0) / t_new
         rv_new = (1.0 + t2) * qv - t2 * pv
