@@ -4,7 +4,9 @@ from .mesh import (
     row_sharded_operator,
     shard_batch,
     solve_batched_sharded,
+    solve_admm_tv_fused_sharded,
     solve_fista_tv_fused_sharded,
+    solve_fused_sharded,
 )
 from .multihost import global_mesh, initialize_multihost, is_multihost
 
@@ -15,6 +17,8 @@ __all__ = [
     "row_sharded_operator",
     "solve_batched_sharded",
     "solve_fista_tv_fused_sharded",
+    "solve_admm_tv_fused_sharded",
+    "solve_fused_sharded",
     "initialize_multihost",
     "is_multihost",
     "global_mesh",

@@ -77,23 +77,21 @@ def solve_batched_sharded(solver, B, mesh: Mesh, axis: str = "batch", x0=None):
     return fn(solver, B) if x0 is None else fn(solver, B, x0)
 
 
-def solve_fista_tv_fused_sharded(
-    solver, B, mesh: Mesh, axis: str = "batch", interpret=None
+def solve_fused_sharded(
+    solve_fn, solver, B, mesh: Mesh, axis: str = "batch", interpret=None
 ):
-    """Multi-chip version of the fused FISTA-TV Pallas solve
-    (kernels/fista_tv_fused.py): problems are embarrassingly parallel, so
-    shard the columns of B over `axis` and run the mega-kernel per shard
-    under `shard_map` — zero collectives, linear scaling over the mesh
-    (the TPU-native replacement for the reference's thread scheduler,
+    """Run a fused whole-solve kernel wrapper (`solve_pgm_tv_fused` /
+    `solve_admm_tv_fused`) with the problem columns of B sharded over
+    `axis` under `shard_map` — problems are embarrassingly parallel, so
+    there are zero collectives and linear scaling over the mesh (the
+    TPU-native replacement for the reference's thread scheduler,
     /root/reference/src/MultiThreading.jl:70-78)."""
     from jax.sharding import PartitionSpec
-
-    from ..kernels import solve_fista_tv_fused
 
     B = shard_batch(jnp.asarray(B), mesh, axis)
     spec = PartitionSpec(None, axis)
     fn = jax.shard_map(
-        lambda b: solve_fista_tv_fused(solver, b, interpret=interpret),
+        lambda b: solve_fn(solver, b, interpret=interpret),
         mesh=mesh,
         in_specs=spec,
         out_specs=spec,
@@ -102,3 +100,21 @@ def solve_fista_tv_fused_sharded(
         check_vma=False,
     )
     return jax.jit(fn)(B)
+
+
+def solve_fista_tv_fused_sharded(
+    solver, B, mesh: Mesh, axis: str = "batch", interpret=None
+):
+    """Sharded fused FISTA/OptISTA/POGM-TV solve (see solve_fused_sharded)."""
+    from ..kernels import solve_pgm_tv_fused
+
+    return solve_fused_sharded(solve_pgm_tv_fused, solver, B, mesh, axis, interpret)
+
+
+def solve_admm_tv_fused_sharded(
+    solver, B, mesh: Mesh, axis: str = "batch", interpret=None
+):
+    """Sharded fused ADMM-TV solve (see solve_fused_sharded)."""
+    from ..kernels import solve_admm_tv_fused
+
+    return solve_fused_sharded(solve_admm_tv_fused, solver, B, mesh, axis, interpret)

@@ -84,3 +84,30 @@ def test_fused_fista_tv_sharded(rng):
     )
     want = np.asarray(solve_fista_tv_fused(solver, B, interpret=True))
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_fused_admm_tv_sharded(rng):
+    """Sharded fused ADMM-TV must match the unsharded fused solve."""
+    import jax
+
+    from rls_tpu.kernels import solve_admm_tv_fused
+    from rls_tpu.parallel import make_mesh, solve_admm_tv_fused_sharded
+
+    n, ndev = 16, len(jax.devices())
+    batch = 2 * ndev
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=3, unroll=True)
+    solver = rt.ADMM.create(
+        op, reg=reg, iterations=3, iterations_cg=3, unroll_cg=True, rho=0.1
+    )
+    X = jnp.asarray(rng.normal(size=(batch, n * n)), jnp.float32)
+    B = jax.vmap(op.mv)(X).T
+    mesh = make_mesh(axis_names=("batch",))
+    got = np.asarray(
+        solve_admm_tv_fused_sharded(solver, B, mesh, interpret=True)
+    )
+    want = np.asarray(solve_admm_tv_fused(solver, B, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-6)
