@@ -1,10 +1,13 @@
 from .admm_tv_fused import admm_tv_fused, solve_admm_tv_fused
+from .fista_l1_dft_fused import fista_l1_dft_fused, solve_fista_l1_dft_fused
 from .fista_tv_fused import fista_tv_fused, solve_fista_tv_fused, solve_pgm_tv_fused
 from .kaczmarz_pallas import kaczmarz_sweep_pallas
 from .tv_pallas import prox_tv2d_fgp_pallas
 
 __all__ = [
     "admm_tv_fused",
+    "fista_l1_dft_fused",
+    "solve_fista_l1_dft_fused",
     "solve_admm_tv_fused",
     "prox_tv2d_fgp_pallas",
     "kaczmarz_sweep_pallas",

@@ -206,3 +206,38 @@ def test_admm_tv_fused_rejects_unsupported(rng):
     s = rt.ADMM.create(A, reg=rt.L1Regularization(1e-3), iterations=3)
     with pytest.raises(ValueError):
         solve_admm_tv_fused(s, jnp.zeros((n, 2), jnp.float32))
+
+
+def test_fista_l1_dft_fused_matches_composed(rng):
+    """The fused FISTA-L1 split-real-DFT kernel must reproduce the composed
+    unrolled path (BASELINE config #2's shape)."""
+    import jax
+
+    from rls_tpu.kernels import solve_fista_l1_dft_fused
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    n, batch = 16, 3
+    N2 = n * n
+    idx = jnp.asarray(
+        sorted(rng.choice(N2, size=N2 // 3, replace=False)), jnp.int32
+    )
+    op = rt.SubsampledDFT2RealOperator.from_sample_idx(idx, (n, n))
+    solver = rt.FISTA.create(
+        op, reg=rt.L1Regularization(1e-3), iterations=8, rho=0.95,
+        rel_tol=0.0, track_residual=False,
+    )
+    X = jnp.asarray(rng.normal(size=(batch, N2)), jnp.float32)
+    B = jax.vmap(op.mv)(X).T
+    want = np.asarray(jax.jit(solve_batched_unrolled)(solver, B))
+    got = np.asarray(solve_fista_l1_dft_fused(solver, B))
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-4)
+
+
+def test_fista_l1_dft_fused_rejects_unsupported(rng):
+    from rls_tpu.kernels import solve_fista_l1_dft_fused
+
+    n = 8
+    A = rt.DenseOperator(jnp.asarray(rng.normal(size=(n, n)), jnp.float32))
+    s = rt.FISTA.create(A, reg=rt.L1Regularization(1e-3), iterations=3, rho=0.1)
+    with pytest.raises(ValueError):
+        solve_fista_l1_dft_fused(s, jnp.zeros((n, 2), jnp.float32))

@@ -93,12 +93,14 @@ def main():
     )
     xt2 = jnp.asarray(img.reshape(-1))
     B2 = jnp.tile(op2.mv(xt2)[:, None], (1, 16))
+    from rls_tpu.kernels import solve_fista_l1_dft_fused
+
     s2 = rt.FISTA.create(op2, reg=rt.L1Regularization(2e-3), iterations=60,
                          rho=0.95, rel_tol=0.0, track_residual=False)
-    f2 = jax.jit(solve_batched_unrolled)
-    r2 = np.asarray(f2(s2, B2))
-    emit("fista_l1_cs_dft256", np.linalg.norm(r2[:, 0] - np.asarray(xt2))
-         / np.linalg.norm(np.asarray(xt2)), timeit(f2, s2, B2), 16,
+    f2 = jax.jit(lambda B_: solve_fista_l1_dft_fused(s2, B_))
+    r2 = np.asarray(f2(B2))
+    emit("fista_l1_cs_dft256_fused", np.linalg.norm(r2[:, 0] - np.asarray(xt2))
+         / np.linalg.norm(np.asarray(xt2)), timeit(f2, B2), 16,
          "problems/s")
 
     # ---- 3. ADMM + TV deblurring 256² ------------------------------------
