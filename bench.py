@@ -96,9 +96,9 @@ def main():
     # the final np.asarray waits for all compute; block_until_ready does
     # not reliably block through the tunneled runtime. Take the best of 3
     # windows to shed tunnel/scheduling noise.
-    reps = 5
+    reps = 4
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(reps):
             out = solve_fn(B)

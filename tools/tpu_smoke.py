@@ -65,6 +65,44 @@ def main():
     results["kaczmarz_pallas"] = (np.isfinite(np.asarray(x)).all(), err)
     print(f"kaczmarz_pallas: rel_err={err:.4f}", file=sys.stderr)
 
+    # fused whole-solve mega-kernels (sep-conv TV + DFT-real L1 + ADMM-TV)
+    from rls_tpu.kernels import (
+        solve_admm_tv_fused,
+        solve_fista_l1_dft_fused,
+        solve_pgm_tv_fused,
+    )
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    sep = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    bsep = sep.mv(xt)
+    Bm = jnp.tile(bsep[:, None], (1, 2))
+    for tag, build, solve_fused in [
+        ("fused_fista_tv",
+         lambda: rt.FISTA.create(sep, reg=rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=5, unroll=True), iterations=10, rho=0.95, rel_tol=0.0, track_residual=False),
+         solve_pgm_tv_fused),
+        ("fused_admm_tv",
+         lambda: rt.ADMM.create(sep, reg=rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=5, unroll=True), iterations=5, iterations_cg=4, unroll_cg=True, rho=0.1),
+         solve_admm_tv_fused),
+    ]:
+        s = build()
+        got = np.asarray(jax.jit(lambda B, s=s, f=solve_fused: f(s, B))(Bm))
+        want = np.asarray(jax.jit(lambda B, s=s: solve_batched_unrolled(s, B))(Bm))
+        dev_err = float(np.abs(got - want).max() / (np.abs(want).max() + 1e-30))
+        results[tag] = (np.isfinite(got).all(), dev_err)
+        print(f"{tag}: finite={np.isfinite(got).all()} vs_composed={dev_err:.2e}",
+              file=sys.stderr)
+
+    idx = np.sort(rng.choice(n * n, size=n * n // 3, replace=False))
+    dft = rt.SubsampledDFT2RealOperator.from_sample_idx(jnp.asarray(idx, jnp.int32), (n, n))
+    Bd = jnp.tile(dft.mv(xt)[:, None], (1, 2))
+    s = rt.FISTA.create(dft, reg=rt.L1Regularization(1e-3), iterations=10,
+                        rho=0.95, rel_tol=0.0, track_residual=False)
+    got = np.asarray(jax.jit(lambda B: solve_fista_l1_dft_fused(s, B))(Bd))
+    want = np.asarray(jax.jit(lambda B: solve_batched_unrolled(s, B))(Bd))
+    dev_err = float(np.abs(got - want).max() / (np.abs(want).max() + 1e-30))
+    results["fused_fista_l1_dft"] = (np.isfinite(got).all(), dev_err)
+    print(f"fused_fista_l1_dft: vs_composed={dev_err:.2e}", file=sys.stderr)
+
     bad = [k for k, (ok, err) in results.items() if not ok or err > 0.9]
     print("SMOKE", "PASS" if not bad else f"FAIL {bad}")
     return 0 if not bad else 1
