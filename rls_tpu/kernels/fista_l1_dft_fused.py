@@ -120,7 +120,8 @@ def fista_l1_dft_fused(
         axis=1,
     )
     tab = jnp.asarray(_momentum_table("fista", iterations))
-    vmem_bytes = (10 * H * W + 4 * 3 * H * W + 3 * H * H + 3 * W * W + H * W) * 4
+    # four stacked factors: lfr/lfi (H,3H) and rfr/rfi (3W,W)
+    vmem_bytes = (10 * H * W + 4 * 3 * H * W + 6 * H * H + 6 * W * W + H * W) * 4
     if vmem_bytes > 100 * 1024 * 1024:
         raise ValueError(
             f"fused FISTA-L1-DFT working set ~{vmem_bytes/2**20:.0f} MiB "
@@ -171,6 +172,12 @@ def solve_fista_l1_dft_fused(solver, B_mat, interpret: bool | None = None):
     op = solver.AHA.A
     if not isinstance(op, SubsampledDFT2RealOperator):
         raise ValueError("fused path requires SubsampledDFT2RealOperator")
+    if solver.A is not op:
+        raise ValueError(
+            "fused path requires solver.A to be the SubsampledDFT2RealOperator "
+            "itself (construct with FISTA.create(op, ...); AHA-only solvers "
+            "are not supported)"
+        )
     if op.cat is None:
         raise ValueError("fused path requires compensated=True factors")
     if not isinstance(solver.reg, L1Regularization):

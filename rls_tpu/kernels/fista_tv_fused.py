@@ -97,10 +97,7 @@ def _momentum_table(method: str, iterations: int, theta0: float = 1.0):
     return tab.astype(np.float32)
 
 
-# bit-masked bf16 hi/lo split (shared helper — cast round-trips get elided
-# by the XLA/Mosaic simplifier, bit ops don't, and the masked hi part
-# converts to bf16 losslessly in the MXU); pure jnp/lax, Mosaic-lowerable
-from ..ops._precise import split_bf16 as _split  # noqa: E402
+from ._fgp_common import make_gram_normal, make_tv_fgp  # noqa: E402
 
 
 def _kernel(
@@ -124,67 +121,11 @@ def _kernel(
     H, W = x0hat.shape
     f32 = x0hat.dtype
 
-    def normal(u):
-        # AᴴA u = Bh u Bwᵀ with single-matmul hi/lo compensation per side
-        uh, ul = _split(u)
-        m = jnp.dot(
-            lcat,
-            jnp.concatenate([uh, ul, uh], axis=0),
-            preferred_element_type=f32,
-        )
-        mh, ml = _split(m)
-        return jnp.dot(
-            jnp.concatenate([mh, ml, mh], axis=1),
-            rcat,
-            preferred_element_type=f32,
-        )
-
-    # --- TV-FGP prox (same math as tv_pallas.py / prox.py:prox_tv_fgp) ---
-    row = lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    col = lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    not_last_row = (row < H - 1).astype(f32)
-    not_last_col = (col < W - 1).astype(f32)
-
-    # dual fields keep an exactly-zero last row/col (re-masked at the
-    # clamp), so roll wrap-around brings zeros and gt needs no masks —
-    # saves 4 VPU mask-multiplies per FGP iteration
-    def gv(u):
-        return pltpu.roll(u, H - 1, 0) - u
-
-    def gh(u):
-        return pltpu.roll(u, W - 1, 1) - u
-
-    def gt(pv, ph):
-        tv = pltpu.roll(pv, 1, 0) - pv
-        th = pltpu.roll(ph, 1, 1) - ph
-        return tv + th
-
-    zeros = jnp.zeros((H, W), f32)
+    normal = make_gram_normal(lcat, rcat, f32)
+    _, fgp_n = make_tv_fgp(H, W, f32)
 
     def fgp(xg, lam_tv):
-        lam_safe = jnp.where(lam_tv > 0, lam_tv, 1.0)
-        inv8 = 1.0 / (8.0 * lam_safe)
-
-        def body(_, carry):
-            pv, ph, rv, rh, t = carry
-            xtmp = xg - lam_tv * gt(rv, rh)
-            qv = rv + gv(xtmp) * inv8
-            qh = rh + gh(xtmp) * inv8
-            qv = qv / jnp.maximum(1.0, jnp.abs(qv)) * not_last_row
-            qh = qh / jnp.maximum(1.0, jnp.abs(qh)) * not_last_col
-            t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) / 2.0
-            t2 = (t - 1.0) / t_new
-            rv_new = (1.0 + t2) * qv - t2 * pv
-            rh_new = (1.0 + t2) * qh - t2 * ph
-            return (qv, qh, rv_new, rh_new, t_new)
-
-        pv, ph, _, _, _ = lax.fori_loop(
-            0,
-            tv_iterations,
-            body,
-            (zeros, zeros, zeros, zeros, jnp.asarray(1.0, f32)),
-        )
-        return xg - lam_tv * gt(pv, ph)
+        return fgp_n(xg, lam_tv, tv_iterations)
 
     # --- table-driven proximal-gradient loop ------------------------------
     # carry = (x, m1, m2); m1/m2 are x_prev (FISTA) or (y, z) (OptISTA/POGM).

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._fgp_common import make_tv_fgp
+
 __all__ = ["prox_tv2d_fgp_pallas"]
 
 
@@ -38,51 +40,12 @@ def _kernel(lam_ref, x_ref, out_ref, *, iterations: int):
     x = x_ref[0]
     lam = lam_ref[pl.program_id(0)]  # full (B,) λ vector lives in SMEM
     H, W = x.shape
-    lam_safe = jnp.where(lam > 0, lam, 1.0)
-    inv8 = 1.0 / (8.0 * lam_safe)
-
     # shape-preserving shifts (pltpu.roll) + iota masks instead of jnp.pad:
     # padding to H+1/W+1 breaks the native (8,128) tiling and forces Mosaic
-    # relayouts every FGP iteration; rolls stay tile-aligned.
-    row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    not_last_row = (row < H - 1).astype(x.dtype)
-    not_last_col = (col < W - 1).astype(x.dtype)
-
-    # the dual fields keep an exactly-zero last row/col (the clamp below
-    # re-masks them every iteration), so the roll wrap-around brings zeros
-    # and gt needs NO masks; gv/gh masking moves into the clamp — saves
-    # 4 VPU mask-multiplies per FGP iteration
-    def gv(u):  # forward diff along rows (last row masked at the clamp)
-        return pltpu.roll(u, H - 1, 0) - u
-
-    def gh(u):  # forward diff along cols (last col masked at the clamp)
-        return pltpu.roll(u, W - 1, 1) - u
-
-    def gt(pv, ph):  # adjoint (negative divergence); wrap rows are zero
-        tv = pltpu.roll(pv, 1, 0) - pv
-        th = pltpu.roll(ph, 1, 1) - ph
-        return tv + th
-
-    zeros = jnp.zeros_like(x)
-
-    def body(_, carry):
-        pv, ph, rv, rh, t = carry
-        xtmp = x - lam * gt(rv, rh)
-        qv = rv + gv(xtmp) * inv8
-        qh = rh + gh(xtmp) * inv8
-        qv = qv / jnp.maximum(1.0, jnp.abs(qv)) * not_last_row
-        qh = qh / jnp.maximum(1.0, jnp.abs(qh)) * not_last_col
-        t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) / 2.0
-        t2 = (t - 1.0) / t_new
-        rv_new = (1.0 + t2) * qv - t2 * pv
-        rh_new = (1.0 + t2) * qh - t2 * ph
-        return (qv, qh, rv_new, rh_new, t_new)
-
-    pv, ph, _, _, _ = jax.lax.fori_loop(
-        0, iterations, body, (zeros, zeros, zeros, zeros, jnp.asarray(1.0, x.dtype))
-    )
-    out_ref[0] = x - lam * gt(pv, ph)
+    # relayouts every FGP iteration; rolls stay tile-aligned. Shared FGP
+    # body: kernels/_fgp_common.py.
+    _, fgp = make_tv_fgp(H, W, x.dtype)
+    out_ref[0] = fgp(x, lam, iterations)
 
 
 def _run_batched(xb, lamb, H, W, iterations, interpret):
