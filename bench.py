@@ -79,13 +79,22 @@ def main():
 
     from rls_tpu.kernels import solve_fista_tv_fused
 
-    N, BATCH, ITERS = 256, 64, 50
+    n_dev = len(jax.devices())
+    N, BATCH, ITERS = 256, 64 * max(1, n_dev), 50
     solver, B, xs_true = build_problem(N, BATCH, ITERS)
 
     # solver is closed over (not a jit argument): the fused wrapper builds
     # its momentum table host-side from solver.theta, which must stay
     # concrete
-    solve_fn = jax.jit(lambda B_: solve_fista_tv_fused(solver, B_))
+    if n_dev > 1:
+        # multi-chip: problems sharded over the batch axis, one fused
+        # kernel per shard under shard_map — zero collectives
+        from rls_tpu.parallel import make_mesh, solve_fista_tv_fused_sharded
+
+        mesh = make_mesh(axis_names=("batch",))
+        solve_fn = lambda B_: solve_fista_tv_fused_sharded(solver, B_, mesh)
+    else:
+        solve_fn = jax.jit(lambda B_: solve_fista_tv_fused(solver, B_))
 
     # warmup / compile
     out = solve_fn(B)
