@@ -58,6 +58,7 @@ from .models.solvers import (
     solver_convergence,
     solver_solution,
 )
+from .kernels import solve_batched_fast
 from .registry import (
     applicable_solver_list,
     create_linear_solver,

@@ -1,3 +1,4 @@
+from .auto import solve_batched_fast
 from .admm_tv_fused import admm_tv_fused, solve_admm_tv_fused
 from .fista_l1_dft_fused import fista_l1_dft_fused, solve_fista_l1_dft_fused
 from .fista_tv_fused import fista_tv_fused, solve_fista_tv_fused, solve_pgm_tv_fused
@@ -5,6 +6,7 @@ from .kaczmarz_pallas import kaczmarz_sweep_pallas
 from .tv_pallas import prox_tv2d_fgp_pallas
 
 __all__ = [
+    "solve_batched_fast",
     "admm_tv_fused",
     "fista_l1_dft_fused",
     "solve_fista_l1_dft_fused",

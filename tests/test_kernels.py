@@ -241,3 +241,36 @@ def test_fista_l1_dft_fused_rejects_unsupported(rng):
     s = rt.FISTA.create(A, reg=rt.L1Regularization(1e-3), iterations=3, rho=0.1)
     with pytest.raises(ValueError):
         solve_fista_l1_dft_fused(s, jnp.zeros((n, 2), jnp.float32))
+
+
+def test_solve_batched_fast_dispatch(rng):
+    """Auto-dispatch picks a fused kernel when applicable and falls back to
+    the composed driver otherwise, matching reference results."""
+    import jax
+
+    from rls_tpu import solve_batched_fast
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    n, batch = 24, 2
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    sep = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=4, unroll=True)
+    s_fused = rt.FISTA.create(
+        sep, reg=reg, iterations=6, rho=0.9, rel_tol=0.0, track_residual=False
+    )
+    X = jnp.asarray(rng.normal(size=(batch, n * n)), jnp.float32)
+    B = jax.vmap(sep.mv)(X).T
+    got = np.asarray(solve_batched_fast(s_fused, B))
+    want = np.asarray(solve_batched_unrolled(s_fused, B))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+    # dense operator: no fused path applies -> composed fallback, identical
+    A = rt.DenseOperator(jnp.asarray(rng.normal(size=(24, 24)), jnp.float32))
+    s_plain = rt.FISTA.create(A, reg=rt.L1Regularization(1e-3), iterations=6,
+                              rho=0.05, track_residual=False)
+    Bp = jnp.asarray(rng.normal(size=(24, batch)), jnp.float32)
+    got = np.asarray(solve_batched_fast(s_plain, Bp))
+    want = np.asarray(solve_batched_unrolled(s_plain, Bp))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
