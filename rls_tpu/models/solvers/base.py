@@ -241,7 +241,7 @@ def solve_trace(solver: LinearSolver, b, x0=None, metrics: bool = True):
         out += (active,)
         return state, out
 
-    state, trace = lax.scan(body, state0, None, length=solver.iterations)
+    state, trace = lax.scan(body, state0, None, length=solver.total_steps)
     state = solver.finalize(state)
     return solver.solution(state), trace
 

@@ -64,6 +64,8 @@ class DaxKaczmarz(LinearSolver):
     iterations: int = static_field(default=3)
     iterations_inner: int = static_field(default=2)
     seed: int = static_field(default=42)
+    # reference rowindex length: rows with nonzero energy (DAXKaczmarz.jl:115)
+    n_nonzero_rows: int = static_field(default=0)
 
     @classmethod
     def create(
@@ -100,6 +102,7 @@ class DaxKaczmarz(LinearSolver):
             denom=denom,
             probs=probs,
             eps_w=eps_w,
+            n_nonzero_rows=int(jnp.sum(nz)),
             iterations=iterations,
             iterations_inner=iterations_inner,
             seed=seed,
@@ -124,7 +127,10 @@ class DaxKaczmarz(LinearSolver):
     def step(self, state: DaxState) -> DaxState:
         m = self.A.out_size
         bk = state.u - self.A.mv(state.x)
-        n_inner = m * self.iterations_inner
+        # the reference runs length(rowindex)·iterationsInner inner updates
+        # where rowindex holds only rows with nonzero energy
+        # (DAXKaczmarz.jl:115); n_nonzero_rows is counted at create
+        n_inner = self.n_nonzero_rows * self.iterations_inner
 
         key, sub = jax.random.split(state.key)
         rows = jax.random.choice(sub, m, shape=(n_inner,), p=self.probs)

@@ -113,6 +113,17 @@ class Kaczmarz(LinearSolver):
                 "matrix based normalization"
             )
 
+        if isinstance(normalize_reg, SystemMatrixBasedNormalization):
+            # the factor depends only on A, so fold it into λ HERE — before
+            # the vector-λ standard-form transform and the greedy tables
+            # below consume λ (the reference scales λ in the constructor,
+            # Kaczmarz.jl:85 + NormalizedRegularization.jl:47-58; deferring
+            # to init would leave those consumers with the raw λ)
+            scale0 = normalization_factor(normalize_reg, A_op, None)
+            lam = jnp.asarray(lam) * scale0
+            l2 = L2Regularization(lam)
+            normalize_reg = NoNormalization()
+
         params, proj = split_projection_terms(regs)
         other = list(proj)
         if len(params) == 1:
@@ -257,9 +268,16 @@ class Kaczmarz(LinearSolver):
         if (
             self.backend == "pallas"
             and not self.randomized
+            # the kernel casts A to f32: require BOTH x and A real (a
+            # complex A with real b would otherwise be silently truncated)
             and not jnp.issubdtype(state.x.dtype, jnp.complexfloating)
             and hasattr(self.A, "mat")
-            and fits_vmem(self.A.out_size, self.A.in_size)
+            and not jnp.issubdtype(self.A.mat.dtype, jnp.complexfloating)
+            and fits_vmem(
+                self.A.out_size,
+                self.A.in_size,
+                itemsize=self.A.mat.dtype.itemsize,
+            )
         ):
             from ...kernels.kaczmarz_pallas import kaczmarz_sweep_pallas
 

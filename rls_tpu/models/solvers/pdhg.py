@@ -9,7 +9,7 @@ API surface). Solves ½‖Ax − u‖² + λ R(Φx) with
   * primal update     x ← x − τ(Aᴴy₁ + Φᴴy₂), then constraints
 
 Conjugate proxes: L1 → elementwise clip to [−λ, λ] (reference ProxL1Conj);
-TV → isotropic dual-ball projection p·min(1, λ/‖p‖) over the directional
+TV → anisotropic per-element dual-ball projection p·min(1, λ/‖p‖) over the directional
 gradient stack. (The reference's experimental 8-direction weighted
 ProxTVConj is replaced by this standard isotropic projection; the reference
 solver is disabled upstream.)
@@ -144,14 +144,11 @@ class PDHG(LinearSolver):
         )
 
     def _conj_prox(self, p, lam):
-        if self.reg_kind == "l1":
-            # elementwise projection onto the λ-ball (reference ProxL1Conj)
-            mag = jnp.abs(p)
-            return jnp.where(mag > lam, p / jnp.maximum(mag, 1e-30) * lam, p)
-        # tv: isotropic projection of the directional stack
-        nd = len(self.shape)
-        # directional blocks have unequal sizes; clamp elementwise per block
-        # magnitude (anisotropic) — consistent with the FGP prox's clamp
+        # elementwise projection onto the λ-ball — reference ProxL1Conj for
+        # the l1 dual; for tv the same ANISOTROPIC per-element clamp of the
+        # directional gradient stack (consistent with the FGP prox's clamp;
+        # the reference's experimental weighted 8-direction scheme is a
+        # documented deviation, see docs/API_PARITY.md)
         mag = jnp.abs(p)
         return jnp.where(mag > lam, p / jnp.maximum(mag, 1e-30) * lam, p)
 
@@ -176,9 +173,12 @@ class PDHG(LinearSolver):
         for p in self.proj:
             x = p.prox(x)
 
+        # primal-dual gap exactly as the reference computes it
+        # (PrimalDualSolver.jl:109): the reg term is λ·‖x‖₁ — the PRIMAL
+        # variable's l1 norm, not the transformed one — for both reg kinds
         gap = jnp.abs(
             0.5 * jnp.linalg.norm(self.A.mv(x) - state.u) ** 2
-            + lam * jnp.sum(jnp.abs(self.trafo.mv(x)))
+            + lam * jnp.sum(jnp.abs(x))
             + 0.5 * jnp.linalg.norm(y1) ** 2
             + jnp.real(jnp.vdot(y1, state.u))
         ).astype(rdt)

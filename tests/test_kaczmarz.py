@@ -133,3 +133,48 @@ def test_sparse_kaczmarz(rng):
     x = solve(s, b)
     err = float(np.linalg.norm(np.asarray(x) - xt) / np.linalg.norm(xt))
     assert err < 0.1
+
+
+def test_vector_lambda_with_system_normalization(rng):
+    """Vector-λ Tikhonov + SystemMatrixBasedNormalization must equal the
+    explicitly pre-scaled-λ problem (the factor folds into λ at create,
+    before the standard-form transform — regression: it used to be
+    silently ignored for vector λ)."""
+    A = jnp.asarray(rng.normal(size=(12, 6)), jnp.float32)
+    xt = jnp.asarray(rng.normal(size=(6,)), jnp.float32)
+    b = A @ xt
+    lam_vec = jnp.asarray(rng.uniform(0.01, 0.1, size=(6,)), jnp.float32)
+    factor = float(jnp.sum(jnp.abs(A) ** 2) / 6)
+    s_norm = rt.Kaczmarz.create(
+        A, reg=rt.L2Regularization(lam_vec),
+        normalize_reg=rt.SystemMatrixBasedNormalization(), iterations=30,
+    )
+    s_explicit = rt.Kaczmarz.create(
+        A, reg=rt.L2Regularization(lam_vec * factor), iterations=30,
+    )
+    x1 = np.asarray(solve(s_norm, b))
+    x2 = np.asarray(solve(s_explicit, b))
+    np.testing.assert_allclose(x1, x2, rtol=0, atol=1e-5)
+
+
+def test_greedy_with_system_normalization(rng):
+    """Greedy Kaczmarz + SystemMatrixBasedNormalization ≡ explicitly
+    scaled λ (regression: greedy tables used the raw λ while the sweep
+    denominators used the scaled one)."""
+    A = jnp.asarray(rng.normal(size=(16, 6)), jnp.float32)
+    xt = jnp.asarray(rng.normal(size=(6,)), jnp.float32)
+    b = A @ xt
+    lam = 0.05
+    factor = float(jnp.sum(jnp.abs(A) ** 2) / 6)
+    s_norm = rt.Kaczmarz.create(
+        A, reg=rt.L2Regularization(lam),
+        normalize_reg=rt.SystemMatrixBasedNormalization(),
+        greedy_randomized=True, iterations=20,
+    )
+    s_explicit = rt.Kaczmarz.create(
+        A, reg=rt.L2Regularization(lam * factor),
+        greedy_randomized=True, iterations=20,
+    )
+    x1 = np.asarray(solve(s_norm, b))
+    x2 = np.asarray(solve(s_explicit, b))
+    np.testing.assert_allclose(x1, x2, rtol=0, atol=1e-5)

@@ -252,3 +252,19 @@ def test_splitbregman_unrolled_runs_all_inner_steps(rng):
     x_u = np.asarray(solve_unrolled(s, b))
     x_w = np.asarray(solve(s, b))
     np.testing.assert_allclose(x_u, x_w, rtol=0, atol=1e-4)
+
+
+def test_solve_trace_runs_all_splitbregman_steps(rng):
+    """solve_trace must scan total_steps (= iterations x iterations_inner
+    for SplitBregman), matching solve. Regression: it scanned only the
+    outer count."""
+    from rls_tpu.models.solvers import solve_trace
+
+    A, xt, b = _tiny_problem(rng)
+    s = rt.SplitBregman.create(
+        A, reg=rt.L1Regularization(1e-4), iterations=3, iterations_inner=10,
+        iterations_cg=6, rho=0.1,
+    )
+    x_t, trace = solve_trace(s, b)
+    x_w = solve(s, b)
+    np.testing.assert_allclose(np.asarray(x_t), np.asarray(x_w), atol=1e-5)
