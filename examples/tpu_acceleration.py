@@ -42,3 +42,24 @@ stats = rt.time_solver(
     jax.jit(rt.solve_unrolled if dev.platform != "cpu" else rt.solve), solver, b
 )
 print(f"compile {stats['compile_s']:.2f}s, mean solve {stats['mean_s']*1e3:.2f} ms")
+
+# -- fused whole-solve Pallas kernels ---------------------------------------
+# For the flagship shapes (separable-conv TV, split-real-DFT L1, ADMM-TV)
+# the entire fixed-iteration solve runs as ONE kernel per problem;
+# solve_batched_fast auto-dispatches and falls back to the composed driver.
+g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+kern = np.outer(g, g)
+kern /= kern.sum()
+sep = rt.SeparableConvOperator.from_kernel(kern, im_shape=(32, 32))
+tv_solver = rt.FISTA.create(
+    sep,
+    reg=rt.TVRegularization(1e-3, shape=(32, 32), iterations_tv=5, unroll=True),
+    iterations=20,
+    rho=0.95,
+    rel_tol=0.0,
+    track_residual=False,
+)
+imgs = jnp.asarray(rng.normal(size=(4, 32 * 32)).astype(np.float32))
+B = jax.vmap(sep.mv)(imgs).T
+X = jax.jit(lambda B_: rt.solve_batched_fast(tv_solver, B_))(B)
+print("fused batched FISTA-TV:", X.shape, "finite:", bool(jnp.isfinite(X).all()))

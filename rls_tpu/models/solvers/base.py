@@ -46,6 +46,7 @@ __all__ = [
     "solve_batched_unrolled",
     "pcg",
     "tree_where",
+    "kaczmarz_row_update",
     "split_projection_terms",
     "prepare_operators",
     "SolverRun",
@@ -123,6 +124,26 @@ def prepare_operators(A, AHA):
     else:
         AHA_op = as_operator(AHA)
     return A_op, AHA_op
+
+
+def kaczmarz_row_update(A, x, dual, j, rhs, denom_j, eps_w_j):
+    """One regularized Kaczmarz row projection — the shared algebra of
+    Kaczmarz._row_update, DaxKaczmarz.step, and DaxConstrained.row_sweep
+    (reference iterate_row_index, Kaczmarz.jl:303-308):
+
+        τ      = a_j · x            (unconjugated, BLAS dotu semantics)
+        α      = denom_j (rhs − τ − εw_j · dual_j)
+        x     += α · conj(a_j)
+        dual_j += α · εw_j
+    """
+    row = A.row(j)
+    tau = jnp.sum(row * x)
+    alpha = denom_j.astype(x.dtype) * (
+        rhs - tau - eps_w_j.astype(x.dtype) * dual[j]
+    )
+    x = x + alpha * jnp.conj(row)
+    dual = dual.at[j].add(alpha * eps_w_j.astype(x.dtype))
+    return x, dual
 
 
 def tree_where(mask, new_tree, old_tree):

@@ -27,7 +27,7 @@ from ..._pytree import pytree_dataclass, replace, static_field
 from ...ops.base import IdentityOperator, LinearOperator, as_operator
 from ..prox import PositiveRegularization, RealRegularization
 from ..regularization import TransformedRegularization
-from .base import LinearSolver
+from .base import LinearSolver, kaczmarz_row_update
 
 __all__ = ["DaxKaczmarz", "DaxConstrained"]
 
@@ -137,13 +137,9 @@ class DaxKaczmarz(LinearSolver):
 
         def body(carry, j):
             xl, yl = carry
-            row = self.A.row(j)
-            tau = jnp.sum(row * xl)
-            alpha = self.denom[j].astype(xl.dtype) * (
-                bk[j] - tau - self.eps_w[j].astype(xl.dtype) * yl[j]
+            xl, yl = kaczmarz_row_update(
+                self.A, xl, yl, j, bk[j], self.denom[j], self.eps_w[j]
             )
-            xl = xl + alpha * jnp.conj(row)
-            yl = yl.at[j].add(alpha * self.eps_w[j].astype(xl.dtype))
             return (xl, yl), None
 
         xl0 = jnp.zeros((self.A.in_size,), state.x.dtype)
@@ -244,13 +240,9 @@ class DaxConstrained(LinearSolver):
 
         def row_sweep(carry, j):
             xl, yl = carry
-            row = self.A.row(j)
-            tau = jnp.sum(row * xl)
-            alpha = self.denom[j].astype(xl.dtype) * (
-                bk[j] - tau - self.eps_w[j].astype(xl.dtype) * yl[j]
+            xl, yl = kaczmarz_row_update(
+                self.A, xl, yl, j, bk[j], self.denom[j], self.eps_w[j]
             )
-            xl = xl + alpha * jnp.conj(row)
-            yl = yl.at[j].add(alpha * self.eps_w[j].astype(xl.dtype))
             return (xl, yl), None
 
         def censor_sweep(carry, i):

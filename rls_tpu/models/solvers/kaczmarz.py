@@ -34,7 +34,7 @@ from ..regularization import (
     normalization_factor,
     sink,
 )
-from .base import LinearSolver, split_projection_terms
+from .base import LinearSolver, kaczmarz_row_update, split_projection_terms
 
 __all__ = ["Kaczmarz"]
 
@@ -242,11 +242,7 @@ class Kaczmarz(LinearSolver):
     def _row_update(self, carry, i, u, denom, eps_w):
         """One row projection (reference iterate_row_index, Kaczmarz.jl:303-308)."""
         x, vl = carry
-        row = self.A.row(i)
-        tau = jnp.sum(row * x)  # unconjugated row·x (BLAS dotu semantics)
-        alpha = denom[i].astype(x.dtype) * (u[i] - tau - eps_w * vl[i])
-        x = x + alpha * jnp.conj(row)
-        vl = vl.at[i].add(alpha * eps_w)
+        x, vl = kaczmarz_row_update(self.A, x, vl, i, u[i], denom[i], eps_w)
         return (x, vl), None
 
     def _standard_sweep(self, state: KaczmarzState):
