@@ -1,6 +1,7 @@
 from .auto import solve_batched_fast
 from .admm_tv_fused import admm_tv_fused, solve_admm_tv_fused
 from .fista_l1_dft_fused import fista_l1_dft_fused, solve_fista_l1_dft_fused
+from .sense_fused import fista_l21_sense_fused, solve_fista_l21_sense_fused
 from .fista_tv_fused import fista_tv_fused, solve_fista_tv_fused, solve_pgm_tv_fused
 from .kaczmarz_pallas import kaczmarz_sweep_pallas
 from .tv_pallas import prox_tv2d_fgp_pallas
@@ -10,6 +11,8 @@ __all__ = [
     "admm_tv_fused",
     "fista_l1_dft_fused",
     "solve_fista_l1_dft_fused",
+    "fista_l21_sense_fused",
+    "solve_fista_l21_sense_fused",
     "solve_admm_tv_fused",
     "prox_tv2d_fgp_pallas",
     "kaczmarz_sweep_pallas",

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from .admm_tv_fused import solve_admm_tv_fused
 from .fista_l1_dft_fused import solve_fista_l1_dft_fused
+from .sense_fused import solve_fista_l21_sense_fused
 from .fista_tv_fused import solve_pgm_tv_fused
 
 __all__ = ["solve_batched_fast"]
@@ -25,6 +26,7 @@ _FUSED_WRAPPERS = (
     solve_pgm_tv_fused,
     solve_admm_tv_fused,
     solve_fista_l1_dft_fused,
+    solve_fista_l21_sense_fused,
 )
 
 

@@ -274,3 +274,30 @@ def test_solve_batched_fast_dispatch(rng):
     got = np.asarray(solve_batched_fast(s_plain, Bp))
     want = np.asarray(solve_batched_unrolled(s_plain, Bp))
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_fista_l21_sense_fused_matches_composed(rng):
+    """The fused SENSE FISTA-L21 kernel must reproduce the composed
+    unrolled path (complex-L1 multi-coil MRI on the split-real operator)."""
+    import jax
+
+    from rls_tpu.kernels import solve_fista_l21_sense_fused
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    h = w = 16
+    C, batch = 3, 2
+    maps = (rng.normal(size=(C, h, w)) + 1j * rng.normal(size=(C, h, w))).astype(
+        np.complex64
+    )
+    maps /= np.sqrt((np.abs(maps) ** 2).sum(0))
+    mask = (rng.uniform(size=(h, w)) < 0.5).astype(np.float32)
+    op = rt.SenseDFT2RealOperator.from_maps(maps, mask, (h, w))
+    solver = rt.FISTA.create(
+        op, reg=rt.L21Regularization(1e-3, slices=2), iterations=8, rho=0.95,
+        rel_tol=0.0, track_residual=False,
+    )
+    X = jnp.asarray(rng.normal(size=(batch, 2 * h * w)), jnp.float32)
+    B = jax.vmap(op.mv)(X).T
+    want = np.asarray(jax.jit(solve_batched_unrolled)(solver, B))
+    got = np.asarray(solve_fista_l21_sense_fused(solver, B))
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-4)
