@@ -22,7 +22,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops._precise import split_bf16
 
-__all__ = ["make_tv_fgp", "make_gram_normal", "split_bf16"]
+__all__ = [
+    "make_tv_fgp",
+    "make_gram_normal",
+    "make_split_dft",
+    "make_sense_normal",
+    "split_bf16",
+]
 
 
 def make_gram_normal(lcat, rcat, dtype):
@@ -41,6 +47,74 @@ def make_gram_normal(lcat, rcat, dtype):
             rcat,
             preferred_element_type=dtype,
         )
+
+    return normal
+
+
+def make_split_dft(lfr, lfi, rfr, rfi, dtype):
+    """Compensated split-real 2-D DFT sandwiches `(cfwd, cadj)`.
+
+    `lfr/lfi` are the stacked `[hi hi lo]` left factors (H, 3H) of the
+    DFT's real/imag parts, `rfr/rfi` the right factors (3W, W) — the
+    pre-stacked compensation layout of `ops/dft_real._dft_cat`. Mirrors
+    `SubsampledDFT2RealOperator`'s forward/adjoint exactly (semantics of
+    reference FFT ops; built split-real for the FFT-less TPU runtime).
+    """
+
+    def lmul(l_cat, u):
+        uh, ul = split_bf16(u)
+        return jnp.dot(
+            l_cat,
+            jnp.concatenate([uh, ul, uh], axis=0),
+            preferred_element_type=dtype,
+        )
+
+    def rmul(u, r_cat):
+        uh, ul = split_bf16(u)
+        return jnp.dot(
+            jnp.concatenate([uh, ul, uh], axis=1),
+            r_cat,
+            preferred_element_type=dtype,
+        )
+
+    def cfwd(ur, ui):
+        lr = lmul(lfr, ur) - lmul(lfi, ui)
+        li = lmul(lfr, ui) + lmul(lfi, ur)
+        kr = rmul(lr, rfr) - rmul(li, rfi)
+        ki = rmul(lr, rfi) + rmul(li, rfr)
+        return kr, ki
+
+    def cadj(kr, ki):
+        lr = lmul(lfr, kr) + lmul(lfi, ki)
+        li = lmul(lfr, ki) - lmul(lfi, kr)
+        vr = rmul(lr, rfr) + rmul(li, rfi)
+        vi = rmul(li, rfr) - rmul(lr, rfi)
+        return vr, vi
+
+    return cfwd, cadj
+
+
+def make_sense_normal(cfwd, cadj, mask, cr_ref, ci_ref, n_coils: int):
+    """Split-real multi-coil SENSE normal op `AᴴA (xr, xi)`.
+
+    Per coil: complex sensitivity multiply, masked DFT sandwich, conjugate
+    sensitivity accumulate — `SenseDFT2RealOperator.normal` semantics.
+    `cr_ref`/`ci_ref` may be refs or arrays indexable as `[c]`.
+    """
+
+    def normal(xr, xi):
+        acc_r = xr * 0.0
+        acc_i = xr * 0.0
+        for c in range(n_coils):  # static coil loop
+            crm = cr_ref[c]
+            cim = ci_ref[c]
+            ur = crm * xr - cim * xi
+            ui = crm * xi + cim * xr
+            kr, ki = cfwd(ur, ui)
+            vr, vi = cadj(kr * mask, ki * mask)
+            acc_r = acc_r + crm * vr + cim * vi
+            acc_i = acc_i + crm * vi - cim * vr
+        return acc_r, acc_i
 
     return normal
 

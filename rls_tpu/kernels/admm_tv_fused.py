@@ -135,12 +135,7 @@ def admm_tv_fused(
         ],
         axis=1,
     )
-    vmem_bytes = (14 * H * W + 2 * 3 * H * W + 3 * H * H + 3 * W * W) * 4
-    if vmem_bytes > 100 * 1024 * 1024:
-        raise ValueError(
-            f"fused ADMM-TV working set ~{vmem_bytes/2**20:.0f} MiB exceeds "
-            "VMEM; use the composed solve path"
-        )
+    _check_vmem_admm_tv(H, W)
     return pl.pallas_call(
         functools.partial(
             _kernel,
@@ -164,16 +159,9 @@ def admm_tv_fused(
     )(scal, lcat, rcat, x0hat_b)
 
 
-def solve_admm_tv_fused(solver, B_mat, interpret: bool | None = None):
-    """Drop-in fast path for `solve_batched_unrolled(solver, B)` when the
-    solver is ADMM + SeparableConvOperator + one identity-trafo 2-D TV term
-    (BASELINE config #3's shape). Returns the n×K solution matrix.
-
-    Assumptions are checked — callers get a ValueError naming the
-    unsupported piece.
-    """
+def check_admm_tv_fused(solver):
+    """Validate `solver` for the fused ADMM-TV path (raises ValueError)."""
     from ..models.prox import TVRegularization
-    from ..models.regularization import normalization_factor
     from ..models.solvers.admm import ADMM
     from ..ops.base import IdentityOperator, NormalOperator
     from ..ops.conv_direct import SeparableConvOperator
@@ -213,6 +201,33 @@ def solve_admm_tv_fused(solver, B_mat, interpret: bool | None = None):
             "fused path needs a concrete tol_inner; close the solver over "
             "jax.jit instead of passing it as a jit argument"
         )
+    _check_vmem_admm_tv(H, W)
+
+
+def _check_vmem_admm_tv(H, W):
+    vmem_bytes = (14 * H * W + 2 * 3 * H * W + 3 * H * H + 3 * W * W) * 4
+    if vmem_bytes > 100 * 1024 * 1024:
+        raise ValueError(
+            f"fused ADMM-TV working set ~{vmem_bytes/2**20:.0f} MiB exceeds "
+            "VMEM; use the composed solve path"
+        )
+
+
+def solve_admm_tv_fused(solver, B_mat, interpret: bool | None = None):
+    """Drop-in fast path for `solve_batched_unrolled(solver, B)` when the
+    solver is ADMM + SeparableConvOperator + one identity-trafo 2-D TV term
+    (BASELINE config #3's shape). Returns the n×K solution matrix.
+
+    Assumptions are checked — callers get a ValueError naming the
+    unsupported piece.
+    """
+    from ..models.regularization import normalization_factor
+
+    check_admm_tv_fused(solver)
+    op = solver.AHA.A
+    reg = solver.reg[0]
+    H, W = op.im_shape
+    tol_inner = solver.tol_inner
 
     B_mat = jnp.asarray(B_mat)
     bt = B_mat.T

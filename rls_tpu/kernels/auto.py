@@ -1,11 +1,12 @@
 """Automatic fast-path dispatch for batched fixed-iteration solves.
 
-`solve_batched_fast(solver, B)` tries each fused whole-solve Pallas kernel
-wrapper in turn — the wrappers validate their own requirements and raise
-ValueError naming the unsupported piece — and falls back to the composed
-`solve_batched_unrolled` driver when none applies. This gives reference
-users a single call with the performance of the fused kernels where the
-problem shape allows (docs/tpu.md).
+`solve_batched_fast(solver, B)` runs each fused whole-solve Pallas kernel's
+*applicability check* in turn — the checks validate solver/operator/reg
+requirements and raise ValueError naming the unsupported piece — and runs
+the first kernel whose check passes. Execution errors are NOT swallowed:
+once a check passes, any error from the kernel itself propagates. When no
+fused kernel applies, a warning lists every rejection reason and the call
+falls back to the composed `solve_batched_unrolled` driver (docs/tpu.md).
 
 Numerics note: the fused proximal-gradient kernels use an f64
 host-precomputed momentum table, so results can differ from the composed
@@ -15,28 +16,55 @@ accurate of the two).
 
 from __future__ import annotations
 
-from .admm_tv_fused import solve_admm_tv_fused
-from .fista_l1_dft_fused import solve_fista_l1_dft_fused
-from .sense_fused import solve_fista_l21_sense_fused
-from .fista_tv_fused import solve_pgm_tv_fused
+import warnings
+
+from .admm_tv_fused import check_admm_tv_fused, solve_admm_tv_fused
+from .fista_l1_dft_fused import (
+    check_fista_l1_dft_fused,
+    solve_fista_l1_dft_fused,
+)
+from .sense_fused import check_fista_l21_sense_fused, solve_fista_l21_sense_fused
+from .fista_tv_fused import check_pgm_tv_fused, solve_pgm_tv_fused
+from .splitbregman_fused import (
+    check_splitbregman_l1_tv_fused,
+    solve_splitbregman_l1_tv_fused,
+)
 
 __all__ = ["solve_batched_fast"]
 
 _FUSED_WRAPPERS = (
-    solve_pgm_tv_fused,
-    solve_admm_tv_fused,
-    solve_fista_l1_dft_fused,
-    solve_fista_l21_sense_fused,
+    ("pgm_tv", check_pgm_tv_fused, solve_pgm_tv_fused),
+    ("admm_tv", check_admm_tv_fused, solve_admm_tv_fused),
+    ("splitbregman_l1_tv", check_splitbregman_l1_tv_fused,
+     solve_splitbregman_l1_tv_fused),
+    ("fista_l1_dft", check_fista_l1_dft_fused, solve_fista_l1_dft_fused),
+    ("fista_l21_sense", check_fista_l21_sense_fused, solve_fista_l21_sense_fused),
 )
 
 
-def solve_batched_fast(solver, B, interpret=None):
-    """Batched fixed-iteration solve via the fastest applicable path."""
-    for wrapper in _FUSED_WRAPPERS:
+def solve_batched_fast(solver, B, interpret=None, warn=True):
+    """Batched fixed-iteration solve via the fastest applicable path.
+
+    Tries each fused kernel's check; runs the first that applies. Falls
+    back to `solve_batched_unrolled` with a `UserWarning` naming why every
+    fused path was rejected (pass ``warn=False`` to silence).
+    """
+    reasons = []
+    for name, check, run in _FUSED_WRAPPERS:
         try:
-            return wrapper(solver, B, interpret=interpret)
-        except ValueError:
+            check(solver)
+        except ValueError as e:
+            reasons.append(f"{name}: {e}")
             continue
+        return run(solver, B, interpret=interpret)
+    if warn:
+        warnings.warn(
+            "solve_batched_fast: no fused kernel applies; falling back to "
+            "the composed solve_batched_unrolled path. Rejections: "
+            + "; ".join(reasons),
+            UserWarning,
+            stacklevel=2,
+        )
     from ..models.solvers.base import solve_batched_unrolled
 
     return solve_batched_unrolled(solver, B)

@@ -120,13 +120,7 @@ def fista_l1_dft_fused(
         axis=1,
     )
     tab = jnp.asarray(_momentum_table("fista", iterations))
-    # four stacked factors: lfr/lfi (H,3H) and rfr/rfi (3W,W)
-    vmem_bytes = (10 * H * W + 4 * 3 * H * W + 6 * H * H + 6 * W * W + H * W) * 4
-    if vmem_bytes > 100 * 1024 * 1024:
-        raise ValueError(
-            f"fused FISTA-L1-DFT working set ~{vmem_bytes/2**20:.0f} MiB "
-            "exceeds VMEM; use the composed solve path"
-        )
+    _check_vmem_fista_l1_dft(H, W)
     return pl.pallas_call(
         functools.partial(_kernel, iterations=iterations),
         grid=(B,),
@@ -148,16 +142,9 @@ def fista_l1_dft_fused(
     )(scal, tab, cat["l_fr"], cat["l_fi"], cat["r_fr"], cat["r_fi"], mask, x0hat_b)
 
 
-def solve_fista_l1_dft_fused(solver, B_mat, interpret: bool | None = None):
-    """Drop-in fast path for `solve_batched_unrolled(solver, B)` when the
-    solver is FISTA + SubsampledDFT2RealOperator + L1 (BASELINE config #2's
-    shape). Returns the n×K solution matrix.
-
-    Assumptions are checked — callers get a ValueError naming the
-    unsupported piece.
-    """
+def check_fista_l1_dft_fused(solver):
+    """Validate `solver` for the fused FISTA-L1-DFT path (raises ValueError)."""
     from ..models.prox import L1Regularization
-    from ..models.regularization import normalization_factor
     from ..models.solvers.fista import FISTA
     from ..ops.base import NormalOperator
     from ..ops.dft_real import SubsampledDFT2RealOperator
@@ -194,6 +181,32 @@ def solve_fista_l1_dft_fused(solver, B_mat, interpret: bool | None = None):
         )
     if float(theta0) != 1.0:
         raise ValueError("fused path requires the default theta=1 schedule")
+    H, W = op.im_shape
+    _check_vmem_fista_l1_dft(H, W)
+
+
+def _check_vmem_fista_l1_dft(H, W):
+    # four stacked factors: lfr/lfi (H,3H) and rfr/rfi (3W,W)
+    vmem_bytes = (10 * H * W + 4 * 3 * H * W + 6 * H * H + 6 * W * W + H * W) * 4
+    if vmem_bytes > 100 * 1024 * 1024:
+        raise ValueError(
+            f"fused FISTA-L1-DFT working set ~{vmem_bytes/2**20:.0f} MiB "
+            "exceeds VMEM; use the composed solve path"
+        )
+
+
+def solve_fista_l1_dft_fused(solver, B_mat, interpret: bool | None = None):
+    """Drop-in fast path for `solve_batched_unrolled(solver, B)` when the
+    solver is FISTA + SubsampledDFT2RealOperator + L1 (BASELINE config #2's
+    shape). Returns the n×K solution matrix.
+
+    Assumptions are checked — callers get a ValueError naming the
+    unsupported piece.
+    """
+    from ..models.regularization import normalization_factor
+
+    check_fista_l1_dft_fused(solver)
+    op = solver.AHA.A
 
     H, W = op.im_shape
     B_mat = jnp.asarray(B_mat)

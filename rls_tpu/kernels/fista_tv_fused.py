@@ -188,14 +188,7 @@ def fista_tv_fused(
         axis=1,
     )
     tab = jnp.asarray(_momentum_table(method, iterations))
-    # VMEM guard: live set ≈ x, x_old, x0hat, momentum/residual temps, 4 TV
-    # duals + 2 stacked concat temps (3×) + the two Gram factor blocks
-    vmem_bytes = (12 * H * W + 2 * 3 * H * W + 3 * H * H + 3 * W * W) * 4
-    if vmem_bytes > 100 * 1024 * 1024:
-        raise ValueError(
-            f"fused FISTA-TV working set ~{vmem_bytes/2**20:.0f} MiB exceeds "
-            "VMEM; use the composed solve path"
-        )
+    _check_vmem_pgm_tv(H, W)
     return pl.pallas_call(
         functools.partial(
             _kernel,
@@ -224,14 +217,13 @@ def solve_fista_tv_fused(solver, B_mat, interpret: bool | None = None):
     return solve_pgm_tv_fused(solver, B_mat, interpret=interpret)
 
 
-def solve_pgm_tv_fused(solver, B_mat, interpret: bool | None = None):
-    """Drop-in fast path for `solve_batched_unrolled(solver, B)` when the
-    solver is FISTA / OptISTA / POGM + SeparableConvOperator + 2-D TV (the
-    flagship bench shape). Returns the n×K solution matrix like the
-    composed driver.
+def check_pgm_tv_fused(solver):
+    """Validate `solver` for the fused PGM-TV path.
 
-    Assumptions are *checked*, not silently ignored — callers get a
-    ValueError naming the unsupported piece.
+    Raises ValueError naming the first unsupported piece; returns the
+    momentum-table method string on success. Used by `solve_pgm_tv_fused`
+    and by `auto.solve_batched_fast` to decide applicability WITHOUT
+    catching execution-time errors.
     """
     from ..models.prox import TVRegularization
     from ..models.solvers.fista import FISTA
@@ -289,6 +281,34 @@ def solve_pgm_tv_fused(solver, B_mat, interpret: bool | None = None):
         )
     if float(theta0) != 1.0:
         raise ValueError("fused path requires the default theta=1 schedule")
+    _check_vmem_pgm_tv(H, W)
+    return method
+
+
+def _check_vmem_pgm_tv(H, W):
+    # VMEM guard: live set ≈ x, x_old, x0hat, momentum/residual temps, 4 TV
+    # duals + 2 stacked concat temps (3×) + the two Gram factor blocks
+    vmem_bytes = (12 * H * W + 2 * 3 * H * W + 3 * H * H + 3 * W * W) * 4
+    if vmem_bytes > 100 * 1024 * 1024:
+        raise ValueError(
+            f"fused FISTA-TV working set ~{vmem_bytes/2**20:.0f} MiB exceeds "
+            "VMEM; use the composed solve path"
+        )
+
+
+def solve_pgm_tv_fused(solver, B_mat, interpret: bool | None = None):
+    """Drop-in fast path for `solve_batched_unrolled(solver, B)` when the
+    solver is FISTA / OptISTA / POGM + SeparableConvOperator + 2-D TV (the
+    flagship bench shape). Returns the n×K solution matrix like the
+    composed driver.
+
+    Assumptions are *checked*, not silently ignored — callers get a
+    ValueError naming the unsupported piece.
+    """
+    method = check_pgm_tv_fused(solver)
+    op = solver.AHA.A
+    reg = solver.reg
+    H, W = op.im_shape
 
     B_mat = jnp.asarray(B_mat)
     bt = B_mat.T  # (K, n)

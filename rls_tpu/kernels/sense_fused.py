@@ -24,7 +24,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops._precise import split_bf16 as _split
+from ._fgp_common import make_sense_normal, make_split_dft
 from .fista_tv_fused import _momentum_table
 
 __all__ = ["fista_l21_sense_fused", "solve_fista_l21_sense_fused"]
@@ -59,49 +59,8 @@ def _kernel(
     H, W = x0r.shape
     f32 = x0r.dtype
 
-    def lmul(l_cat, u):
-        uh, ul = _split(u)
-        return jnp.dot(
-            l_cat,
-            jnp.concatenate([uh, ul, uh], axis=0),
-            preferred_element_type=f32,
-        )
-
-    def rmul(u, r_cat):
-        uh, ul = _split(u)
-        return jnp.dot(
-            jnp.concatenate([uh, ul, uh], axis=1),
-            r_cat,
-            preferred_element_type=f32,
-        )
-
-    def cfwd(ur, ui):
-        lr = lmul(lfr, ur) - lmul(lfi, ui)
-        li = lmul(lfr, ui) + lmul(lfi, ur)
-        kr = rmul(lr, rfr) - rmul(li, rfi)
-        ki = rmul(lr, rfi) + rmul(li, rfr)
-        return kr, ki
-
-    def cadj(kr, ki):
-        lr = lmul(lfr, kr) + lmul(lfi, ki)
-        li = lmul(lfr, ki) - lmul(lfi, kr)
-        vr = rmul(lr, rfr) + rmul(li, rfi)
-        vi = rmul(li, rfr) - rmul(lr, rfi)
-        return vr, vi
-
-    def normal(xr, xi):
-        acc_r = xr * 0.0
-        acc_i = xr * 0.0
-        for c in range(n_coils):  # static coil loop
-            crm = cr_ref[c]
-            cim = ci_ref[c]
-            ur = crm * xr - cim * xi
-            ui = crm * xi + cim * xr
-            kr, ki = cfwd(ur, ui)
-            vr, vi = cadj(kr * mask, ki * mask)
-            acc_r = acc_r + crm * vr + cim * vi
-            acc_i = acc_i + crm * vi - cim * vr
-        return acc_r, acc_i
+    cfwd, cadj = make_split_dft(lfr, lfi, rfr, rfi, f32)
+    normal = make_sense_normal(cfwd, cadj, mask, cr_ref, ci_ref, n_coils)
 
     def body(i, carry):
         xr, xi, pr, pi = carry
@@ -144,17 +103,7 @@ def fista_l21_sense_fused(
         axis=1,
     )
     tab = jnp.asarray(_momentum_table("fista", iterations))
-    vmem_bytes = (
-        16 * H * W  # split planes, momentum, grads, temps
-        + 4 * 3 * H * W  # stacked concat temps
-        + 6 * H * H + 6 * W * W  # four stacked DFT factors
-        + (2 * C + 1) * H * W  # coil maps + mask
-    ) * 4
-    if vmem_bytes > 100 * 1024 * 1024:
-        raise ValueError(
-            f"fused SENSE working set ~{vmem_bytes/2**20:.0f} MiB exceeds "
-            "VMEM; use the composed solve path"
-        )
+    _check_vmem_sense(H, W, C)
     return pl.pallas_call(
         functools.partial(_kernel, iterations=iterations, n_coils=C),
         grid=(B,),
@@ -184,16 +133,9 @@ def fista_l21_sense_fused(
     )
 
 
-def solve_fista_l21_sense_fused(solver, B_mat, interpret: bool | None = None):
-    """Drop-in fast path for `solve_batched_unrolled(solver, B)` when the
-    solver is FISTA + SenseDFT2RealOperator + L21(slices=2) (complex-L1
-    SENSE MRI). Returns the n×K solution matrix ([re; im] rows).
-
-    Assumptions are checked — callers get a ValueError naming the
-    unsupported piece.
-    """
+def check_fista_l21_sense_fused(solver):
+    """Validate `solver` for the fused SENSE FISTA-L21 path (raises ValueError)."""
     from ..models.prox import L21Regularization
-    from ..models.regularization import normalization_factor
     from ..models.solvers.fista import FISTA
     from ..ops.base import NormalOperator
     from ..ops.dft_real import SenseDFT2RealOperator
@@ -233,6 +175,37 @@ def solve_fista_l21_sense_fused(solver, B_mat, interpret: bool | None = None):
         )
     if float(theta0) != 1.0:
         raise ValueError("fused path requires the default theta=1 schedule")
+    H, W = op.im_shape
+    _check_vmem_sense(H, W, op.coils_r.shape[0])
+
+
+def _check_vmem_sense(H, W, C):
+    vmem_bytes = (
+        16 * H * W  # split planes, momentum, grads, temps
+        + 4 * 3 * H * W  # stacked concat temps
+        + 6 * H * H + 6 * W * W  # four stacked DFT factors
+        + (2 * C + 1) * H * W  # coil maps + mask
+    ) * 4
+    if vmem_bytes > 100 * 1024 * 1024:
+        raise ValueError(
+            f"fused SENSE working set ~{vmem_bytes/2**20:.0f} MiB exceeds "
+            "VMEM; use the composed solve path"
+        )
+
+
+def solve_fista_l21_sense_fused(solver, B_mat, interpret: bool | None = None):
+    """Drop-in fast path for `solve_batched_unrolled(solver, B)` when the
+    solver is FISTA + SenseDFT2RealOperator + L21(slices=2) (complex-L1
+    SENSE MRI). Returns the n×K solution matrix ([re; im] rows).
+
+    Assumptions are checked — callers get a ValueError naming the
+    unsupported piece.
+    """
+    from ..models.regularization import normalization_factor
+
+    check_fista_l21_sense_fused(solver)
+    op = solver.AHA.A
+    reg = solver.reg
 
     H, W = op.im_shape
     n = H * W

@@ -221,12 +221,58 @@ class TVRegularization(ParameterizedRegularization):
 # --------------------------------------------------------------------------
 
 
+def _use_jacobi(m, method: str) -> bool:
+    """Jacobi SVT applies to real input; "auto" additionally caps the
+    minor dimension (the sweep loop is unrolled n−1 steps per sweep, so
+    compile time grows with min(m, n))."""
+    if jnp.issubdtype(m.dtype, jnp.complexfloating):
+        return False
+    if method == "jacobi":
+        return True
+    return method == "auto" and min(m.shape[-2:]) <= 64
+
+
+def _svt(m, lam, method: str = "auto"):
+    """Batched singular-value soft threshold dispatch.
+
+    On bf16-matmul TPUs, XLA's SVD caps at ~2e-3 accuracy; the one-sided
+    Jacobi path (ops/jacobi_svd.py) is VPU-resident and holds ~1e-5, so it
+    is the default wherever it applies (real dtype, small minor dim).
+    """
+    if _use_jacobi(m, method):
+        from ..ops.jacobi_svd import svt_jacobi
+
+        if m.shape[-2] < m.shape[-1]:  # SVT(Aᵀ) = SVT(A)ᵀ; keep n small
+            return jnp.swapaxes(
+                svt_jacobi(jnp.swapaxes(m, -1, -2), lam), -1, -2
+            )
+        return svt_jacobi(m, lam)
+    u, s, vh = jnp.linalg.svd(m, full_matrices=False)
+    s = jnp.maximum(s - lam, 0).astype(s.dtype)
+    return (u * s[..., None, :].astype(u.dtype)) @ vh
+
+
+def _svdvals(m, method: str = "auto"):
+    if _use_jacobi(m, method):
+        from ..ops.jacobi_svd import jacobi_svdvals
+
+        if m.shape[-2] < m.shape[-1]:  # match svd's min(m, n) count
+            m = jnp.swapaxes(m, -1, -2)
+        return jacobi_svdvals(m)
+    return jnp.linalg.svd(m, compute_uv=False)
+
+
 @pytree_dataclass
 class NuclearRegularization(ParameterizedRegularization):
-    """Singular value soft-thresholding (reference ProxNuclear.jl)."""
+    """Singular value soft-thresholding (reference ProxNuclear.jl).
+
+    `svd_method`: "auto" (Jacobi SVT for real input with small minor dim,
+    XLA SVD otherwise), "jacobi", or "xla".
+    """
 
     lam: Any
     svt_shape: tuple = static_field(default=None)
+    svd_method: str = static_field(default="auto")
 
     def __post_init__(self):
         if self.svt_shape is not None:
@@ -235,13 +281,11 @@ class NuclearRegularization(ParameterizedRegularization):
     def prox(self, x, lam=None):
         lam = self.lam if lam is None else lam
         m = x.reshape(self.svt_shape)
-        u, s, vh = jnp.linalg.svd(m, full_matrices=False)
-        s = jnp.maximum(s - lam, 0)
-        return ((u * s[..., None, :]) @ vh).reshape(x.shape)
+        return _svt(m, lam, self.svd_method).reshape(x.shape)
 
     def value(self, x, lam=None):
         lam = self.lam if lam is None else lam
-        s = jnp.linalg.svd(x.reshape(self.svt_shape), compute_uv=False)
+        s = _svdvals(x.reshape(self.svt_shape), self.svd_method)
         return lam * jnp.sum(s)
 
 
@@ -300,6 +344,7 @@ class LLRRegularization(ParameterizedRegularization):
     fully_overlapping: bool = static_field(default=False)
     L: int = static_field(default=1)
     seed: int = static_field(default=1234)
+    svd_method: str = static_field(default="auto")  # see NuclearRegularization
 
     def __post_init__(self):
         if self.shape is not None:
@@ -313,9 +358,7 @@ class LLRRegularization(ParameterizedRegularization):
     # -- single non-overlapping pass ------------------------------------
     def _svt_blocks(self, img, lam):
         blocks, pshape = _block_partition(img, self.block_size)
-        u, s, vh = jnp.linalg.svd(blocks, full_matrices=False)
-        s = jnp.maximum(s - lam, 0).astype(s.dtype)
-        recon = (u * s[..., None, :].astype(u.dtype)) @ vh
+        recon = _svt(blocks, lam, self.svd_method)
         K = img.shape[-1]
         return _block_departition(recon, self.block_size, pshape, img.shape[:-1], K)
 
@@ -367,7 +410,7 @@ class LLRRegularization(ParameterizedRegularization):
         for i in range(self.L):
             chunk = x[i * nvox * K : (i + 1) * nvox * K].reshape(*self.shape, K)
             blocks, _ = _block_partition(chunk, self.block_size)
-            s = jnp.linalg.svd(blocks, compute_uv=False)
+            s = _svdvals(blocks, self.svd_method)
             total = total + jnp.sum(s)
         return lam * total
 

@@ -30,6 +30,7 @@ __all__ = [
     "stack_right",
     "mm_left",
     "mm_right",
+    "mm_both",
 ]
 
 
@@ -75,3 +76,14 @@ def mm_right(x, r_cat):
     """Compensated ``x @ R`` with R pre-stacked by stack_right."""
     xh, xl = split_bf16(x)
     return jnp.concatenate([xh, xl, xh], axis=-1) @ r_cat
+
+
+def mm_both(a, b):
+    """Compensated ``a @ b`` where BOTH operands are runtime values:
+    one stacked matmul carrying ah·bh + ah·bl + al·bh (the al·bl term is
+    below f32 epsilon). Batch dims broadcast like jnp.matmul."""
+    ah, al = split_bf16(a)
+    bh, bl = split_bf16(b)
+    return jnp.concatenate([ah, ah, al], axis=-1) @ jnp.concatenate(
+        [bh, bl, bh], axis=-2
+    )

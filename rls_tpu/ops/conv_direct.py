@@ -206,13 +206,12 @@ class SeparableConvOperator(LinearOperator):
         return self.ah.dtype
 
     def _comp(self):
-        # CPU matmuls are f32-native; only MXU backends need the hi/lo
-        # split, and the bit-level split is f32-specific
-        return (
-            self.compensated
-            and jax.default_backend() != "cpu"
-            and self.ah.dtype == jnp.float32
-        )
+        # depends only on the operator config (never the trace-time
+        # backend): an operator traced on CPU but executed on TPU must
+        # still compensate, and the CPU suite must exercise the exact
+        # program that runs on chip. On f32-native backends the
+        # compensated form is redundant but equally accurate.
+        return self.compensated and self.ah.dtype == jnp.float32
 
     def _sandwich(self, x, left, right_t, name):
         img = x.reshape(self.im_shape)

@@ -69,11 +69,9 @@ class _DFTRealBase(LinearOperator):
     """Shared split-real DFT machinery (factors + compensated multiplies)."""
 
     def _comp(self):
-        return (
-            self.compensated
-            and jax.default_backend() != "cpu"
-            and self.cat is not None
-        )
+        # backend-independent (see conv_direct._comp): compensation is an
+        # operator property so CPU-traced programs run the on-chip path
+        return self.compensated and self.cat is not None
 
     # left-multiply by F factor along H; right-multiply along W (F == Fᵀ)
     def _lm(self, which, x):

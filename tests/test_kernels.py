@@ -301,3 +301,85 @@ def test_fista_l21_sense_fused_matches_composed(rng):
     want = np.asarray(jax.jit(solve_batched_unrolled)(solver, B))
     got = np.asarray(solve_fista_l21_sense_fused(solver, B))
     np.testing.assert_allclose(got, want, rtol=0, atol=2e-4)
+
+def test_splitbregman_l1_tv_fused_matches_composed(rng):
+    """The fused SplitBregman kernel (inner ADMM + outer Bregman, L21 + TV
+    on the split-real SENSE operator) must reproduce the composed unrolled
+    path (BASELINE config #4's shape)."""
+    import jax
+
+    from rls_tpu.kernels import solve_splitbregman_l1_tv_fused
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    h = w = 16
+    n = h * w
+    C, batch = 3, 2
+    maps = (rng.normal(size=(C, h, w)) + 1j * rng.normal(size=(C, h, w))).astype(
+        np.complex64
+    )
+    maps /= np.sqrt((np.abs(maps) ** 2).sum(0))
+    mask = (rng.uniform(size=(h, w)) < 0.6).astype(np.float32)
+    op = rt.SenseDFT2RealOperator.from_maps(maps, mask, (h, w))
+    solver = rt.SplitBregman.create(
+        op,
+        reg=[
+            rt.L21Regularization(1e-3, slices=2),
+            rt.TVRegularization(1e-3, shape=(2, h, w), dims=(1, 2),
+                                iterations_tv=4, unroll=True),
+        ],
+        reg_trafo=[rt.IdentityOperator(2 * n, jnp.float32),
+                   rt.IdentityOperator(2 * n, jnp.float32)],
+        iterations=2, iterations_inner=3, iterations_cg=5, unroll_cg=True,
+        rho=[0.01, 0.02],
+    )
+    X = jnp.asarray(rng.normal(size=(batch, 2 * n)), jnp.float32)
+    B = jax.vmap(op.mv)(X).T
+    want = np.asarray(jax.jit(solve_batched_unrolled)(solver, B))
+    got = np.asarray(solve_splitbregman_l1_tv_fused(solver, B))
+    np.testing.assert_allclose(got, want, rtol=0, atol=3e-4)
+
+
+def test_splitbregman_fused_rejects_unsupported(rng):
+    from rls_tpu.kernels.splitbregman_fused import check_splitbregman_l1_tv_fused
+
+    A = rt.DenseOperator(jnp.asarray(rng.normal(size=(16, 16)), jnp.float32))
+    s = rt.SplitBregman.create(A, reg=rt.L1Regularization(1e-3))
+    with pytest.raises(ValueError):
+        check_splitbregman_l1_tv_fused(s)
+
+
+def test_solve_batched_fast_warns_on_fallback(rng):
+    """The auto dispatcher must WARN (naming every rejection) when no fused
+    kernel applies, and must not warn when one does."""
+    import warnings
+
+    import jax
+
+    from rls_tpu import solve_batched_fast
+
+    A = rt.DenseOperator(jnp.asarray(rng.normal(size=(12, 12)), jnp.float32))
+    s_plain = rt.FISTA.create(A, reg=rt.L1Regularization(1e-3), iterations=2,
+                              rho=0.05, track_residual=False)
+    Bp = jnp.asarray(rng.normal(size=(12, 2)), jnp.float32)
+    with pytest.warns(UserWarning, match="no fused kernel applies"):
+        solve_batched_fast(s_plain, Bp)
+    # warn=False silences
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        solve_batched_fast(s_plain, Bp, warn=False)
+
+    # applicable solver: no warning
+    n = 16
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    sep = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=3, unroll=True)
+    s_fused = rt.FISTA.create(
+        sep, reg=reg, iterations=2, rho=0.9, rel_tol=0.0, track_residual=False
+    )
+    X = jnp.asarray(rng.normal(size=(2, n * n)), jnp.float32)
+    B = jax.vmap(sep.mv)(X).T
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        solve_batched_fast(s_fused, B)

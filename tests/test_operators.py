@@ -207,13 +207,15 @@ def test_subsampled_dft_real_matches_complex_fft(rng):
     yr = np.asarray(op_r.mv(x))
     cr = yr[:n][np.asarray(idx)]
     ci = yr[n:][np.asarray(idx)]
-    np.testing.assert_allclose(cr, yc.real, atol=1e-5)
-    np.testing.assert_allclose(ci, yc.imag, atol=1e-5)
+    # 5e-5: the compensated stacked matmul (the exact on-chip program, now
+    # also exercised on CPU) differs from the complex FFT at the f32 floor
+    np.testing.assert_allclose(cr, yc.real, atol=5e-5)
+    np.testing.assert_allclose(ci, yc.imag, atol=5e-5)
 
     # fused normal: real part of the complex normal
     nc = np.asarray(op_c.normal(x.astype(jnp.complex64)))
     nr = np.asarray(op_r.normal(x))
-    np.testing.assert_allclose(nr, nc.real, atol=1e-5)
+    np.testing.assert_allclose(nr, nc.real, atol=5e-5)
 
     # adjoint identity <y, Ax> == <A^T y, x>
     y = jnp.asarray(rng.normal(size=(op_r.out_size,)), jnp.float32)
@@ -222,7 +224,7 @@ def test_subsampled_dft_real_matches_complex_fft(rng):
     assert abs(lhs - rhs) < 1e-3 * (abs(lhs) + 1)
     # normal == rmv∘mv
     np.testing.assert_allclose(
-        np.asarray(op_r.normal(x)), np.asarray(op_r.rmv(op_r.mv(x))), atol=1e-5
+        np.asarray(op_r.normal(x)), np.asarray(op_r.rmv(op_r.mv(x))), atol=5e-5
     )
 
 
@@ -248,8 +250,9 @@ def test_sense_dft_real_matches_complex(rng):
     y = np.asarray(op.mv(x)).reshape(C, 2, h, w)
     for c in range(C):
         ref = mask * np.fft.fft2(maps[c] * xc, norm="ortho")
-        np.testing.assert_allclose(y[c, 0], ref.real, atol=1e-4)
-        np.testing.assert_allclose(y[c, 1], ref.imag, atol=1e-4)
+        # 2e-4: compensated stacked matmul vs complex FFT at the f32 floor
+        np.testing.assert_allclose(y[c, 0], ref.real, atol=2e-4)
+        np.testing.assert_allclose(y[c, 1], ref.imag, atol=2e-4)
 
     # adjoint identity and fused normal
     yv = jnp.asarray(rng.normal(size=(op.out_size,)), jnp.float32)

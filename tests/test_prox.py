@@ -125,7 +125,11 @@ def test_nuclear_prox(rng):
     p = np.asarray(reg.prox(x)).reshape(8, 6)
     s_in = np.linalg.svd(np.asarray(x).reshape(8, 6), compute_uv=False)
     s_out = np.linalg.svd(p, compute_uv=False)
-    np.testing.assert_allclose(s_out, np.maximum(s_in - 0.5, 0), atol=1e-4)
+    # rtol 5e-5: the Jacobi SVT path plateaus at the f32 rotation floor
+    # (~1e-5 relative), slightly above LAPACK's on the largest σ
+    np.testing.assert_allclose(
+        s_out, np.maximum(s_in - 0.5, 0), rtol=5e-5, atol=1e-4
+    )
 
 
 @pytest.mark.parametrize("randshift", [False, True])

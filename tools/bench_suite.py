@@ -171,12 +171,14 @@ def main():
         iterations=4, iterations_inner=8, iterations_cg=8, unroll_cg=True,
         rho=[0.01, 0.01],
     )
-    f4 = jax.jit(solve_batched_unrolled)
-    r4 = np.asarray(f4(s4, B4))
+    from rls_tpu.kernels import solve_splitbregman_l1_tv_fused
+
+    f4 = jax.jit(lambda B_: solve_splitbregman_l1_tv_fused(s4, B_))
+    r4 = np.asarray(f4(B4))
     rec4 = (r4[:n4, :] + 1j * r4[n4:, :]).T.reshape(SLICES, H, W)
-    emit("splitbregman_sense128_6coil",
+    emit("splitbregman_sense128_6coil_fused",
          np.linalg.norm(rec4 - xs4) / np.linalg.norm(xs4),
-         timeit(f4, s4, B4), SLICES, "slices/s")
+         timeit(f4, B4), SLICES, "slices/s")
 
     # ---- 5. randomized Kaczmarz + positivity, tall system ----------------
     mk, nk = 1024, 256
