@@ -58,7 +58,12 @@ from .models.solvers import (
     solver_convergence,
     solver_solution,
 )
-from .kernels import solve_batched_fast
+from .kernels import (
+    solve_batched_fast,
+    solve_kaczmarz_streamed,
+    solve_splitbregman_l1_tv_fused,
+)
+from .ops.jacobi_svd import jacobi_svd, jacobi_svdvals, svt_jacobi
 from .registry import (
     applicable_solver_list,
     create_linear_solver,
@@ -69,6 +74,7 @@ from .registry import (
 )
 from .ops import (
     ConvolutionOperator,
+    Grad8Operator,
     SamplingOperator,
     DirectConvOperator,
     SeparableConvOperator,

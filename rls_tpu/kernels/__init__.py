@@ -3,7 +3,11 @@ from .admm_tv_fused import admm_tv_fused, solve_admm_tv_fused
 from .fista_l1_dft_fused import fista_l1_dft_fused, solve_fista_l1_dft_fused
 from .sense_fused import fista_l21_sense_fused, solve_fista_l21_sense_fused
 from .fista_tv_fused import fista_tv_fused, solve_fista_tv_fused, solve_pgm_tv_fused
-from .kaczmarz_pallas import kaczmarz_sweep_pallas
+from .kaczmarz_pallas import (
+    kaczmarz_solve_pallas,
+    kaczmarz_sweep_pallas,
+    solve_kaczmarz_streamed,
+)
 from .splitbregman_fused import (
     splitbregman_l1_tv_sense_fused,
     solve_splitbregman_l1_tv_fused,
@@ -13,6 +17,8 @@ from .tv_pallas import prox_tv2d_fgp_pallas
 __all__ = [
     "splitbregman_l1_tv_sense_fused",
     "solve_splitbregman_l1_tv_fused",
+    "kaczmarz_solve_pallas",
+    "solve_kaczmarz_streamed",
     "solve_batched_fast",
     "admm_tv_fused",
     "fista_l1_dft_fused",

@@ -159,8 +159,10 @@ def make_tv_fgp(H: int, W: int, dtype):
             xtmp = xg - lam_tv * gt(rv, rh)
             qv = rv + gv(xtmp) * inv8
             qh = rh + gh(xtmp) * inv8
-            qv = qv / jnp.maximum(1.0, jnp.abs(qv)) * not_last_row
-            qh = qh / jnp.maximum(1.0, jnp.abs(qh)) * not_last_col
+            # q/max(1,|q|) on real scalars IS clip(q, -1, 1) — saves the
+            # multi-cycle VPU divide in the hottest loop of the bench
+            qv = jnp.clip(qv, -1.0, 1.0) * not_last_row
+            qh = jnp.clip(qh, -1.0, 1.0) * not_last_col
             t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) / 2.0
             t2 = (t - 1.0) / t_new
             rv_new = (1.0 + t2) * qv - t2 * pv

@@ -365,8 +365,10 @@ class LLRRegularization(ParameterizedRegularization):
     def _prox_nonoverlapping(self, img, lam):
         if self.randshift:
             key = jax.random.PRNGKey(self.seed)
+            # shifts stay TRACED (jnp.roll accepts dynamic shifts) so the
+            # prox is jittable; int() here would raise under jit
             shifts = [
-                int(jax.random.randint(jax.random.fold_in(key, d), (), 0, b))
+                jax.random.randint(jax.random.fold_in(key, d), (), 0, b)
                 for d, b in enumerate(self.block_size)
             ]
             shifted = jnp.roll(img, shifts, axis=tuple(range(len(self.shape))))

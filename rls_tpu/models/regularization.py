@@ -196,30 +196,40 @@ class AutoScaledRegularization(NestedRegularization):
     Deviation from the reference: the reference latches the factor at the
     *first* prox call (mutable state). In this functional version the factor
     is recomputed from the current iterate at every call unless ``factor``
-    is provided explicitly.
+    is provided explicitly. For exact reference-parity trajectories use
+    ``reg.latched(x_first)`` with the first prox input (the iterate after
+    the first gradient step) — it pins ``factor = max|x_first|`` like the
+    reference's one-time ``initFactor!``.
     """
 
     reg: Regularization
     factor: Optional[Any] = None
+
+    def latched(self, x) -> "AutoScaledRegularization":
+        """Copy with the reference's latched factor max|x| (see class doc)."""
+        return AutoScaledRegularization(
+            reg=self.reg, factor=jnp.max(jnp.abs(x))
+        )
 
     def get_lam(self):
         if self.factor is None:
             return self.reg.get_lam()
         return self.reg.get_lam() * self.factor
 
+    def _eff_lam(self, x, lam):
+        if self.factor is not None:
+            # latched: an explicit λ passes through unchanged (the caller
+            # already fetched get_lam() · factor, like the reference's
+            # post-latch branch); λ=None uses the factor-scaled accessor
+            return self.get_lam() if lam is None else lam
+        lam = self.reg.get_lam() if lam is None else lam
+        return lam * jnp.max(jnp.abs(x))
+
     def prox(self, x, lam=None):
-        if lam is None:
-            lam = self.reg.get_lam()
-        if self.factor is None:
-            lam = lam * jnp.max(jnp.abs(x))
-        return self.reg.prox(x, lam)
+        return self.reg.prox(x, self._eff_lam(x, lam))
 
     def value(self, x, lam=None):
-        if lam is None:
-            lam = self.reg.get_lam()
-        if self.factor is None:
-            lam = lam * jnp.max(jnp.abs(x))
-        return self.reg.value(x, lam)
+        return self.reg.value(x, self._eff_lam(x, lam))
 
 
 @pytree_dataclass

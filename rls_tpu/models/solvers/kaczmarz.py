@@ -65,6 +65,12 @@ class Kaczmarz(LinearSolver):
     tikhonov_inv_sqrt: Any = None  # 1/√λ vector for solution rescale
     theta: Any = None
     perm: Any = None  # row visit order (arange, or shuffled at create)
+    # (iterations, K) host-precomputed row order for the randomized mode —
+    # replaces the in-loop jax.random.choice so the sweep lowers on
+    # restricted TPU runtimes and the streamed Pallas kernel can pre-gather
+    # rows; energy-weighted sampling without replacement, like the
+    # reference's per-sweep sample! (Kaczmarz.jl:267-269)
+    precomputed_order: Any = None
     normalize_reg: Any = NoNormalization()
     backend: str = static_field(default="xla")  # "xla" | "pallas"
     randomized: bool = static_field(default=False)
@@ -88,9 +94,16 @@ class Kaczmarz(LinearSolver):
         greedy_randomized: bool = False,
         theta: Optional[float] = None,
         backend: str = "xla",
+        precompute_order: bool = False,
         **_,
     ):
-        """Reference ctor semantics (Kaczmarz.jl:77-158)."""
+        """Reference ctor semantics (Kaczmarz.jl:77-158).
+
+        ``precompute_order=True`` (randomized mode) samples every sweep's
+        row set host-side at construction instead of in-loop with
+        jax.random — required for the streamed Pallas backend and for TPU
+        runtimes without gather-based categorical sampling; statistically
+        equivalent to the reference's per-sweep `sample!`."""
         A_op = as_operator(A)
         regs = (
             list(reg)
@@ -143,10 +156,25 @@ class Kaczmarz(LinearSolver):
 
         m = A_op.out_size
         probabilities = None
+        precomputed_order = None
         sub_matrix_size = max(1, round(sub_matrix_fraction * m))
         if randomized:
             rn2 = A_op.row_norms_sq()
             probabilities = (rn2 / jnp.sum(rn2)).astype(jnp.float32)
+            if precompute_order:
+                p_np = np.asarray(probabilities, np.float64)
+                p_np = p_np / p_np.sum()
+                gen = np.random.default_rng(seed)
+                precomputed_order = jnp.asarray(
+                    np.stack(
+                        [
+                            gen.choice(m, size=sub_matrix_size, replace=False,
+                                       p=p_np)
+                            for _ in range(iterations)
+                        ]
+                    ),
+                    jnp.int32,
+                )
 
         # row visit order: cyclic or shuffled (the reference reseeds and
         # reshuffles at every init! with the same seed, Kaczmarz.jl:194-201 —
@@ -186,6 +214,7 @@ class Kaczmarz(LinearSolver):
             tikhonov_inv_sqrt=tikhonov_inv_sqrt,
             theta=theta,
             perm=perm,
+            precomputed_order=precomputed_order,
             normalize_reg=normalize_reg,
             backend=backend,
             randomized=randomized,
@@ -247,7 +276,14 @@ class Kaczmarz(LinearSolver):
 
     def _standard_sweep(self, state: KaczmarzState):
         key = state.key
-        if self.randomized:
+        if self.randomized and self.precomputed_order is not None:
+            t = jnp.minimum(
+                state.iteration, self.precomputed_order.shape[0] - 1
+            )
+            idx = lax.dynamic_index_in_dim(
+                self.precomputed_order, t, keepdims=False
+            )
+        elif self.randomized:
             key, sub = jax.random.split(key)
             idx = jax.random.choice(
                 sub,

@@ -25,12 +25,39 @@ import jax.numpy as jnp
 
 from ..._pytree import pytree_dataclass, replace, static_field
 from ...ops.base import IdentityOperator, LinearOperator, as_operator
-from ...ops.grad import GradientOperator
+from ...ops.grad import Grad8Operator, GradientOperator
 from ..prox import L1Regularization, TVRegularization
 from ..regularization import NoNormalization, normalization_factor, sink
 from .base import LinearSolver, split_projection_terms
 
-__all__ = ["PDHG"]
+__all__ = ["PDHG", "prox_tv_conj_8dir"]
+
+# per-direction weights of the reference's ProxTVConj
+# (PrimalDualSolver.jl:208-302): axial, diagonal, knight-move
+_W8 = (
+    5.0**0.5 - 2.0,  # p1, p2
+    5.0**0.5 - 3.0 * 2.0**0.5 / 2.0,  # p3, p4
+    (1.0 + 2.0**0.5 - 5.0**0.5) / 2.0,  # p5..p8
+)
+
+
+def prox_tv_conj_8dir(p, alpha, shape):
+    """Exact port of the reference's weighted 8-direction TV conjugate prox
+    (ProxTVConj, PrimalDualSolver.jl:208-302): directions are thresholded
+    SEQUENTIALLY — direction k's pointwise group norm uses the already-
+    thresholded p₁..p_{k−1} — with pₖ ← wₖ·sign(pₖ)·min(‖(p₁..p₈)‖₂, α).
+    The reference's per-direction boundary re-clamps are provable no-ops
+    (all wₖ ∈ (0, 1) make |pₖ| ≤ wₖ·α < α) and are therefore omitted.
+    Real input only, like the reference solver."""
+    m, n = shape
+    planes = list(p.reshape(8, m, n))
+    weights = (_W8[0], _W8[0], _W8[1], _W8[1], _W8[2], _W8[2], _W8[2], _W8[2])
+    for k in range(8):
+        gnorm = jnp.sqrt(sum(pl_ * pl_ for pl_ in planes))
+        planes[k] = (
+            weights[k] * jnp.sign(planes[k]) * jnp.minimum(gnorm, alpha)
+        )
+    return jnp.concatenate([pl_.reshape(-1) for pl_ in planes])
 
 
 @pytree_dataclass
@@ -55,6 +82,10 @@ class PDHG(LinearSolver):
     eps: Any = 1e-10
     normalize_reg: Any = NoNormalization()
     reg_kind: str = static_field(default="l1")  # "l1" | "tv"
+    # "8dir": the reference's weighted 8-direction gradient + ProxTVConj
+    # (exact parity); "isotropic": standard directional-gradient dual-ball
+    # projection (cheaper, 2 planes instead of 8)
+    tv_scheme: str = static_field(default="8dir")
     shape: tuple = static_field(default=None)
     iterations: int = static_field(default=10)
 
@@ -71,6 +102,7 @@ class PDHG(LinearSolver):
         eps=1e-10,
         enforce_real: bool = False,
         enforce_positive: bool = False,
+        tv_scheme: str = "8dir",
         **_,
     ):
         from ..prox import PositiveRegularization, RealRegularization
@@ -87,7 +119,10 @@ class PDHG(LinearSolver):
         if isinstance(core, TVRegularization):
             reg_kind = "tv"
             shape = tuple(shape) if shape is not None else tuple(core.shape)
-            trafo = GradientOperator(im_shape=shape, _dtype=A_op.dtype)
+            if tv_scheme == "8dir":
+                trafo = Grad8Operator(im_shape=shape, _dtype=A_op.dtype)
+            else:
+                trafo = GradientOperator(im_shape=shape, _dtype=A_op.dtype)
         elif isinstance(core, L1Regularization):
             reg_kind = "l1"
             shape = (n, 1)
@@ -119,6 +154,7 @@ class PDHG(LinearSolver):
             eps=eps,
             normalize_reg=normalize_reg,
             reg_kind=reg_kind,
+            tv_scheme=tv_scheme,
             shape=shape,
             iterations=iterations,
         )
@@ -144,11 +180,13 @@ class PDHG(LinearSolver):
         )
 
     def _conj_prox(self, p, lam):
+        if self.reg_kind == "tv" and self.tv_scheme == "8dir":
+            # exact reference ProxTVConj (weighted 8-direction scheme)
+            return prox_tv_conj_8dir(p, lam, self.shape)
         # elementwise projection onto the λ-ball — reference ProxL1Conj for
-        # the l1 dual; for tv the same ANISOTROPIC per-element clamp of the
-        # directional gradient stack (consistent with the FGP prox's clamp;
-        # the reference's experimental weighted 8-direction scheme is a
-        # documented deviation, see docs/API_PARITY.md)
+        # the l1 dual; for tv_scheme="isotropic" the same ANISOTROPIC
+        # per-element clamp of the directional gradient stack (consistent
+        # with the FGP prox's clamp; see docs/API_PARITY.md)
         mag = jnp.abs(p)
         return jnp.where(mag > lam, p / jnp.maximum(mag, 1e-30) * lam, p)
 

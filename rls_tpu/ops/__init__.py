@@ -14,7 +14,7 @@ from .conv_direct import DirectConvOperator, SeparableConvOperator
 from .dft_real import SenseDFT2RealOperator, SubsampledDFT2RealOperator
 from .function_op import FunctionOperator
 from .fourier import ConvolutionOperator, FFTOperator, SubsampledFFTOperator
-from .grad import GradientOperator
+from .grad import Grad8Operator, GradientOperator
 from .radon import RadonOperator
 from .sparse import SparseOperator
 
@@ -29,6 +29,7 @@ __all__ = [
     "SamplingOperator",
     "SparseOperator",
     "GradientOperator",
+    "Grad8Operator",
     "FFTOperator",
     "SubsampledFFTOperator",
     "ConvolutionOperator",

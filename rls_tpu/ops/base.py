@@ -100,9 +100,19 @@ class LinearOperator:
 class DenseOperator(LinearOperator):
     """Dense matrix operator. The workhorse for small/medium A; matvecs map
     straight onto the MXU. Reference analog: plain ``Matrix`` system matrices.
+
+    ``compensated=True`` applies the stacked hi/lo bf16 compensation
+    (ops/_precise.mm_both) to every matvec — needed for f32-accurate
+    Krylov iterations on bf16-input MXUs (real f32 matrices only; ~3x the
+    matmul cost, exact-but-redundant on f32-native backends). Off by
+    default: row-action solvers and one-shot matvecs rarely need it.
     """
 
     mat: Any
+    compensated: bool = static_field(default=False)
+
+    def _comp(self) -> bool:
+        return self.compensated and self.mat.dtype == jnp.float32
 
     @property
     def in_size(self) -> int:
@@ -116,14 +126,21 @@ class DenseOperator(LinearOperator):
     def dtype(self):
         return self.mat.dtype
 
+    def _mm(self, a, x):
+        if self._comp() and not jnp.issubdtype(x.dtype, jnp.complexfloating):
+            from ._precise import mm_both
+
+            return mm_both(a, x[..., None])[..., 0]
+        return a @ x
+
     def mv(self, x):
-        return self.mat @ x
+        return self._mm(self.mat, x)
 
     def rmv(self, y):
-        return self.mat.conj().T @ y
+        return self._mm(self.mat.conj().T, y)
 
     def normal(self, x):
-        return self.mat.conj().T @ (self.mat @ x)
+        return self.rmv(self.mv(x))
 
     def row(self, i):
         return self.mat[i]

@@ -43,14 +43,15 @@ from .base import LinearOperator
 __all__ = ["SubsampledDFT2RealOperator", "SenseDFT2RealOperator"]
 
 
-def _dft_factors(n: int):
+def _dft_factors(n: int, dtype=None):
     import numpy as np
 
+    dtype = np.float32 if dtype is None else np.dtype(dtype)
     k = np.arange(n)
     w = np.exp(-2j * np.pi * np.outer(k, k) / n) / np.sqrt(n)  # unitary
     # the DFT matrix is SYMMETRIC (w[j,k] == w[k,j]), so left- and
     # right-/transposed applications share the same factors
-    return w.real.astype(np.float32), w.imag.astype(np.float32)
+    return w.real.astype(dtype), w.imag.astype(dtype)
 
 
 def _dft_cat(h: int, w: int):
@@ -122,28 +123,32 @@ class SubsampledDFT2RealOperator(_DFTRealBase):
         object.__setattr__(self, "im_shape", tuple(self.im_shape))
 
     @classmethod
-    def from_mask(cls, mask, im_shape, compensated=True):
+    def from_mask(cls, mask, im_shape, compensated=True, dtype=jnp.float32):
         h, w = im_shape
-        fr_h, fi_h = _dft_factors(h)
-        fr_w, fi_w = _dft_factors(w)
+        dtype = jnp.dtype(dtype)
+        if dtype != jnp.float32:
+            compensated = False  # the hi/lo split is f32-specific
+        fr_h, fi_h = _dft_factors(h, dtype)
+        fr_w, fi_w = _dft_factors(w, dtype)
         return cls(
             fr_h=jnp.asarray(fr_h),
             fi_h=jnp.asarray(fi_h),
             fr_w=jnp.asarray(fr_w),
             fi_w=jnp.asarray(fi_w),
-            mask=jnp.asarray(mask, jnp.float32).reshape(h, w),
+            mask=jnp.asarray(mask, dtype).reshape(h, w),
             cat=_dft_cat(h, w) if compensated else None,
             im_shape=(h, w),
             compensated=compensated,
         )
 
     @classmethod
-    def from_sample_idx(cls, sample_idx, im_shape, compensated=True):
+    def from_sample_idx(cls, sample_idx, im_shape, compensated=True,
+                        dtype=jnp.float32):
         """Same sampling convention as SubsampledFFTOperator: int indices
         into the flattened (row-major) frequency plane."""
         h, w = im_shape
-        m = jnp.zeros((h * w,), jnp.float32).at[jnp.asarray(sample_idx)].set(1.0)
-        return cls.from_mask(m.reshape(h, w), im_shape, compensated)
+        m = jnp.zeros((h * w,), dtype).at[jnp.asarray(sample_idx)].set(1.0)
+        return cls.from_mask(m.reshape(h, w), im_shape, compensated, dtype)
 
     @property
     def in_size(self) -> int:
@@ -156,7 +161,7 @@ class SubsampledDFT2RealOperator(_DFTRealBase):
 
     @property
     def dtype(self):
-        return jnp.float32
+        return self.fr_h.dtype
 
     def mv(self, x):
         h, w = self.im_shape
@@ -209,22 +214,26 @@ class SenseDFT2RealOperator(_DFTRealBase):
         object.__setattr__(self, "im_shape", tuple(self.im_shape))
 
     @classmethod
-    def from_maps(cls, coil_maps, mask, im_shape, compensated=True):
+    def from_maps(cls, coil_maps, mask, im_shape, compensated=True,
+                  dtype=jnp.float32):
         """coil_maps: complex (C, H, W) ndarray; mask: (H, W) binary."""
         import numpy as np
 
         h, w = im_shape
-        fr_h, fi_h = _dft_factors(h)
-        fr_w, fi_w = _dft_factors(w)
+        dtype = jnp.dtype(dtype)
+        if dtype != jnp.float32:
+            compensated = False  # the hi/lo split is f32-specific
+        fr_h, fi_h = _dft_factors(h, dtype)
+        fr_w, fi_w = _dft_factors(w, dtype)
         cm = np.asarray(coil_maps)
         return cls(
             fr_h=jnp.asarray(fr_h),
             fi_h=jnp.asarray(fi_h),
             fr_w=jnp.asarray(fr_w),
             fi_w=jnp.asarray(fi_w),
-            coils_r=jnp.asarray(cm.real, jnp.float32),
-            coils_i=jnp.asarray(cm.imag, jnp.float32),
-            mask=jnp.asarray(mask, jnp.float32).reshape(h, w),
+            coils_r=jnp.asarray(cm.real, dtype),
+            coils_i=jnp.asarray(cm.imag, dtype),
+            mask=jnp.asarray(mask, dtype).reshape(h, w),
             cat=_dft_cat(h, w) if compensated else None,
             im_shape=(h, w),
             compensated=compensated,
@@ -246,7 +255,7 @@ class SenseDFT2RealOperator(_DFTRealBase):
 
     @property
     def dtype(self):
-        return jnp.float32
+        return self.fr_h.dtype
 
     def _split_x(self, x):
         h, w = self.im_shape

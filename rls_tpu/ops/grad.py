@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from .._pytree import pytree_dataclass, static_field
 from .base import LinearOperator
 
-__all__ = ["GradientOperator"]
+__all__ = ["GradientOperator", "Grad8Operator"]
 
 
 def _axis_block_size(shape: tuple[int, ...], d: int) -> int:
@@ -88,3 +88,60 @@ class GradientOperator(LinearOperator):
             out = out - jnp.pad(diff, pad_lo) + jnp.pad(diff, pad_hi)
             offset += bsize
         return out.reshape(-1)
+
+
+@pytree_dataclass
+class Grad8Operator(LinearOperator):
+    """8-direction finite-difference operator of the reference's
+    PrimalDualSolver (`BB`, /root/reference/src/PrimalDualSolver.jl:141-159):
+    axial, diagonal, and knight-move differences stacked as 8 (m, n) planes.
+
+    The adjoint is the TRUE linear transpose of the forward map (via
+    jax.linear_transpose) rather than a transcription of the reference's
+    hand-written divergence `BBS` (:162-198), which skips a handful of
+    boundary pixels (e.g. x[2,1:2]); see docs/API_PARITY.md.
+    """
+
+    im_shape: tuple = static_field()
+    _dtype: Any = static_field(default=jnp.float32)
+
+    def __post_init__(self):
+        object.__setattr__(self, "im_shape", tuple(self.im_shape))
+
+    @property
+    def in_size(self) -> int:
+        m, n = self.im_shape
+        return m * n
+
+    @property
+    def out_size(self) -> int:
+        return 8 * self.in_size
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    def mv(self, x):
+        m, n = self.im_shape
+        u = x.reshape(m, n)
+        z = jnp.zeros((m, n), u.dtype)
+        # (row-shift, col-shift) of the subtracted sample per direction;
+        # zero fill outside each direction's valid region (BB :149-156)
+        p1 = z.at[: m - 1, :].set(u[: m - 1, :] - u[1:, :])
+        p2 = z.at[:, : n - 1].set(u[:, : n - 1] - u[:, 1:])
+        p3 = z.at[: m - 1, : n - 1].set(u[: m - 1, : n - 1] - u[1:, 1:])
+        p4 = z.at[: m - 1, 1:].set(u[: m - 1, 1:] - u[1:, : n - 1])
+        p5 = z.at[: m - 2, : n - 1].set(u[: m - 2, : n - 1] - u[2:, 1:])
+        p6 = z.at[: m - 2, 1:].set(u[: m - 2, 1:] - u[2:, : n - 1])
+        p7 = z.at[: m - 1, : n - 2].set(u[: m - 1, : n - 2] - u[1:, 2:])
+        p8 = z.at[: m - 1, 2:].set(u[: m - 1, 2:] - u[1:, : n - 2])
+        return jnp.concatenate(
+            [p.reshape(-1) for p in (p1, p2, p3, p4, p5, p6, p7, p8)]
+        )
+
+    def rmv(self, y):
+        import jax
+
+        primal = jnp.zeros((self.in_size,), y.dtype)
+        (out,) = jax.linear_transpose(self.mv, primal)(y)
+        return out

@@ -30,16 +30,42 @@ def initialize_multihost(
     process_id: Optional[int] = None,
 ) -> None:
     """Initialize the JAX distributed runtime (no-op if already running or
-    single-process). On Cloud TPU VMs all arguments are auto-detected."""
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
+    in an explicitly single-process context). On Cloud TPU VMs all
+    arguments are auto-detected. Real initialization failures (bad
+    coordinator, rendezvous timeout) PROPAGATE — swallowing them would
+    silently degrade a pod job to one process."""
+    if jax.distributed.is_initialized():
+        return
+    if num_processes == 1 or (
+        coordinator_address is None
+        and num_processes is None
+        and process_id is None
+        and not _looks_like_multihost_env()
+    ):
+        # single-process: nothing to set up
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def _looks_like_multihost_env() -> bool:
+    """Auto-detection is only meaningful on TPU pod VMs / cluster envs."""
+    import os
+
+    return any(
+        k in os.environ
+        for k in (
+            "COORDINATOR_ADDRESS",
+            "JAX_COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+            "TPU_WORKER_HOSTNAMES",
+            "SLURM_JOB_NUM_NODES",
+            "OMPI_COMM_WORLD_SIZE",
         )
-    except (RuntimeError, ValueError):
-        # already initialized or single-process context
-        pass
+    )
 
 
 def is_multihost() -> bool:

@@ -14,18 +14,23 @@ import os
 # environment pins JAX_PLATFORMS to the tunneled TPU, which is both slow for
 # a large unit-test suite and not multi-device.
 _platform = os.environ.get("RLS_TPU_TEST_PLATFORM", "cpu")
-os.environ["JAX_PLATFORMS"] = _platform
-flags = os.environ.get("XLA_FLAGS", "")
-if _platform == "cpu" and "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+if _platform == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+# "tpu" (or any other value): KEEP the environment's JAX_PLATFORMS — the
+# attached chip's plugin may be named differently (e.g. the tunneled
+# "axon" runtime), so forcing JAX_PLATFORMS=tpu would fail to initialize.
 
 import jax  # noqa: E402
 
-# jax may already be imported by a pytest plugin; the config update still
-# wins as long as no backend has been initialized yet.
-jax.config.update("jax_platforms", _platform)
+if _platform == "cpu":
+    # jax may already be imported by a pytest plugin; the config update
+    # still wins as long as no backend has been initialized yet.
+    jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -178,3 +178,110 @@ def test_greedy_with_system_normalization(rng):
     x1 = np.asarray(solve(s_norm, b))
     x2 = np.asarray(solve(s_explicit, b))
     np.testing.assert_allclose(x1, x2, rtol=0, atol=1e-5)
+
+
+def test_kaczmarz_streamed_matches_scan(rng):
+    """The streamed whole-solve Pallas kernel (HBM row blocks, multi-sweep,
+    in-kernel positivity) must reproduce the composed scan path for every
+    supported mode — cyclic, shuffled, randomized (precomputed order),
+    complex split-real, and vector-λ Tikhonov."""
+    import jax
+
+    from rls_tpu.kernels.kaczmarz_pallas import solve_kaczmarz_streamed
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    m, n, P = 24, 16, 2
+    A = rng.normal(size=(m, n)).astype(np.float32)
+    B = jnp.asarray(rng.normal(size=(m, P)), jnp.float32)
+
+    def check(solver, B_, tol=1e-5):
+        want = np.asarray(solve_batched_unrolled(solver, B_))
+        got = np.asarray(
+            solve_kaczmarz_streamed(solver, B_, block_rows=8, interpret=True)
+        )
+        err = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-30)
+        assert err < tol, err
+
+    check(rt.Kaczmarz.create(rt.DenseOperator(jnp.asarray(A)),
+                             reg=rt.L2Regularization(1e-3), iterations=3), B)
+    check(rt.Kaczmarz.create(rt.DenseOperator(jnp.asarray(A)),
+                             reg=rt.L2Regularization(1e-3), iterations=3,
+                             shuffle_rows=True), B)
+    check(rt.Kaczmarz.create(
+        rt.DenseOperator(jnp.asarray(A)),
+        reg=[rt.L2Regularization(1e-3), rt.PositiveRegularization()],
+        iterations=4, randomized=True, sub_matrix_fraction=0.3,
+        precompute_order=True), B)
+    lam_vec = jnp.asarray(rng.uniform(0.5, 2.0, size=(n,)), jnp.float32)
+    check(rt.Kaczmarz.create(rt.DenseOperator(jnp.asarray(A)),
+                             reg=rt.L2Regularization(lam_vec), iterations=3),
+          B)
+
+
+def test_kaczmarz_streamed_complex(rng):
+    import jax
+
+    from rls_tpu.kernels.kaczmarz_pallas import solve_kaczmarz_streamed
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    m, n, P = 24, 16, 2
+    Ac = (rng.normal(size=(m, n)) + 1j * rng.normal(size=(m, n))).astype(
+        np.complex64
+    )
+    Bc = jnp.asarray(
+        rng.normal(size=(m, P)) + 1j * rng.normal(size=(m, P)), jnp.complex64
+    )
+    for kwargs in (
+        dict(iterations=3),
+        dict(iterations=3, randomized=True, sub_matrix_fraction=0.4,
+             precompute_order=True),
+    ):
+        s = rt.Kaczmarz.create(rt.DenseOperator(jnp.asarray(Ac)),
+                               reg=rt.L2Regularization(1e-3), **kwargs)
+        want = np.asarray(solve_batched_unrolled(s, Bc))
+        got = np.asarray(
+            solve_kaczmarz_streamed(s, Bc, block_rows=8, interpret=True)
+        )
+        err = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert err < 1e-5, err
+
+
+def test_kaczmarz_streamed_rejects_unsupported(rng):
+    from rls_tpu.kernels.kaczmarz_pallas import check_kaczmarz_streamed
+
+    A = rt.DenseOperator(jnp.asarray(rng.normal(size=(12, 8)), jnp.float32))
+    # randomized without a precomputed order
+    s = rt.Kaczmarz.create(A, reg=rt.L2Regularization(1e-3), iterations=2,
+                           randomized=True)
+    with pytest.raises(ValueError, match="precomputed"):
+        check_kaczmarz_streamed(s)
+    # greedy
+    s = rt.Kaczmarz.create(A, reg=rt.L2Regularization(1e-3), iterations=2,
+                           greedy_randomized=True)
+    with pytest.raises(ValueError, match="greedy"):
+        check_kaczmarz_streamed(s)
+    # extra parameterized term
+    s = rt.Kaczmarz.create(
+        A, reg=[rt.L2Regularization(1e-3), rt.L1Regularization(1e-3)],
+        iterations=2)
+    with pytest.raises(ValueError, match="Positive/Real"):
+        check_kaczmarz_streamed(s)
+
+
+def test_kaczmarz_precomputed_order_scan_path(rng):
+    """precompute_order=True must lower without jax.random.choice in the
+    loop and produce a deterministic, convergent randomized solve."""
+    m, n = 32, 16
+    A = rng.normal(size=(m, n)).astype(np.float32)
+    xt = rng.normal(size=(n,)).astype(np.float32)
+    b = jnp.asarray(A @ xt)
+    s = rt.Kaczmarz.create(
+        rt.DenseOperator(jnp.asarray(A)), reg=rt.L2Regularization(1e-8),
+        iterations=60, randomized=True, sub_matrix_fraction=0.5,
+        precompute_order=True)
+    from rls_tpu.models.solvers import solve_unrolled
+
+    x1 = np.asarray(solve_unrolled(s, b))
+    x2 = np.asarray(solve_unrolled(s, b))
+    np.testing.assert_array_equal(x1, x2)
+    assert np.linalg.norm(x1 - xt) / np.linalg.norm(xt) < 0.05

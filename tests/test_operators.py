@@ -272,3 +272,26 @@ def test_sense_dft_real_unitary_full_mask(rng):
     )
     x = jnp.asarray(rng.normal(size=(2 * h * w,)), jnp.float32)
     np.testing.assert_allclose(np.asarray(op.normal(x)), np.asarray(x), atol=1e-5)
+
+
+def test_dense_operator_compensated(rng):
+    """compensated=True must agree with the plain path on an f32-native
+    backend (it is the same math, reassociated) and pass complex inputs
+    through uncompensated."""
+    A = rng.normal(size=(12, 8)).astype(np.float32)
+    op_p = rt.DenseOperator(jnp.asarray(A))
+    op_c = rt.DenseOperator(jnp.asarray(A), compensated=True)
+    x = jnp.asarray(rng.normal(size=(8,)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(12,)), jnp.float32)
+    # f32-floor tolerance: the hi/lo reassociation drops the lo*lo term
+    np.testing.assert_allclose(
+        np.asarray(op_c.mv(x)), np.asarray(op_p.mv(x)), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(op_c.rmv(y)), np.asarray(op_p.rmv(y)), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(op_c.normal(x)), np.asarray(op_p.normal(x)), rtol=2e-4,
+        atol=2e-5)
+    xc = jnp.asarray(rng.normal(size=(8,)) + 1j * rng.normal(size=(8,)),
+                     jnp.complex64)
+    out = np.asarray(op_c.mv(xc))
+    assert out.dtype == np.complex64 and np.isfinite(out).all()

@@ -48,6 +48,26 @@ def test_auto_scaled(rng):
     np.testing.assert_allclose(np.asarray(auto.prox(x)), np.asarray(expected), atol=1e-6)
 
 
+def test_auto_scaled_latched(rng):
+    """Latched mode pins the reference's first-call factor
+    (ScaledRegularization.jl:63-71): later calls with DIFFERENT iterates
+    keep the original scale, unlike the recompute default."""
+    x0 = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    x1 = 3.0 * x0
+    l1 = rt.L1Regularization(0.1)
+    latched = rt.AutoScaledRegularization(l1).latched(x0)
+    f0 = float(jnp.max(jnp.abs(x0)))
+    want = l1.prox(x1, 0.1 * f0)
+    np.testing.assert_allclose(
+        np.asarray(latched.prox(x1)), np.asarray(want), atol=1e-6
+    )
+    # λ accessor includes the latched factor, like the reference's λ(reg)
+    np.testing.assert_allclose(float(latched.get_lam()), 0.1 * f0, rtol=1e-6)
+    # recompute default would use max|x1| instead
+    auto = rt.AutoScaledRegularization(l1)
+    assert not np.allclose(np.asarray(auto.prox(x1)), np.asarray(want))
+
+
 def test_masked_regularization(rng):
     x = -jnp.ones((4,), jnp.float32)
     masked = rt.MaskedRegularization(

@@ -186,17 +186,37 @@ def main():
     Ak[rng.uniform(size=Ak.shape) < 0.7] = 0.0  # sparse-ish rows
     xtk = np.abs(rng.normal(size=(nk,)).astype(np.float32))
     bk = jnp.asarray(Ak @ xtk)
+    from rls_tpu.kernels import solve_kaczmarz_streamed
+
     s5 = rt.Kaczmarz.create(
         rt.DenseOperator(jnp.asarray(Ak)),
         reg=[rt.L2Regularization(1e-6), rt.PositiveRegularization()],
         iterations=20, randomized=True, sub_matrix_fraction=0.0625,
+        precompute_order=True,
     )
     B5 = jnp.tile(bk[:, None], (1, 16))
-    f5 = jax.jit(solve_batched_unrolled)
-    x5 = np.asarray(f5(s5, B5))
-    emit("kaczmarz_rand_pos_tall_b16",
+    f5 = jax.jit(lambda B_: solve_kaczmarz_streamed(s5, B_))
+    x5 = np.asarray(f5(B5))
+    emit("kaczmarz_rand_pos_tall_b16_streamed",
          np.linalg.norm(x5[:, 0] - xtk) / np.linalg.norm(xtk),
-         timeit(f5, s5, B5), 16, "problems/s")
+         timeit(f5, B5), 16, "problems/s")
+
+    # ---- 5b. streamed Kaczmarz BEYOND the VMEM whole-matrix limit --------
+    mk2, nk2 = 8192, 2048  # 64 MiB f32 matrix — 5x the 12 MiB VMEM budget
+    Ak2 = (rng.normal(size=(mk2, nk2)) / np.sqrt(nk2)).astype(np.float32)
+    xtk2 = np.abs(rng.normal(size=(nk2,)).astype(np.float32))
+    s5b = rt.Kaczmarz.create(
+        rt.DenseOperator(jnp.asarray(Ak2)),
+        reg=[rt.L2Regularization(1e-6), rt.PositiveRegularization()],
+        iterations=8, randomized=True, sub_matrix_fraction=0.125,
+        precompute_order=True,
+    )
+    B5b = jnp.tile(jnp.asarray(Ak2 @ xtk2)[:, None], (1, 4))
+    f5b = jax.jit(lambda B_: solve_kaczmarz_streamed(s5b, B_))
+    x5b = np.asarray(f5b(B5b))
+    emit("kaczmarz_streamed_64MiB_b4",
+         np.linalg.norm(x5b[:, 0] - xtk2) / np.linalg.norm(xtk2),
+         timeit(f5b, B5b), 4, "problems/s")
 
 
 if __name__ == "__main__":

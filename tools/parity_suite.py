@@ -1,0 +1,319 @@
+"""Reference-parity artifact (VERDICT r1 item 2; BASELINE.json metric).
+
+For every BASELINE config, solves the SAME problem twice:
+
+  * ``chip``  — the f32 fast path on the attached TPU (fused Pallas kernel
+    or streamed kernel, exactly what bench_suite runs);
+  * ``cpu64`` — the composed solver path on CPU with x64 enabled and
+    f64-built operators: reference semantics at reference precision
+    (the reference runs Float64 freely, SURVEY.md §7).
+
+Problems are constructed from seeded numpy f64 data so both processes see
+bit-identical inputs. The orchestrator runs both modes as subprocesses
+(x64 is a process-global switch), compares solutions and data residuals,
+and writes PARITY_r02.json:
+
+    {config: {"sol_rel_err": ‖x_chip − x_64‖/‖x_64‖,
+              "residual_rel_diff": |‖Ax−b‖_chip − ‖Ax−b‖_64| / ‖b‖}}
+
+Usage: python tools/parity_suite.py            # orchestrate + write JSON
+       python tools/parity_suite.py chip OUT   # (internal) one mode
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+# reduced-but-representative sizes: CPU x64 composed runs must stay
+# tractable (minutes); chip configs match bench_suite shapes
+CFG = {
+    "N2": 256, "ITERS2": 60,          # FISTA-L1 CS DFT
+    "N3": 256, "ITERS3": 12, "CG3": 6,  # ADMM-TV deblur
+    "H4": 128, "C4": 6, "SLICES4": 2,   # SplitBregman SENSE
+    "MK": 1024, "NK": 256, "T5": 20,    # Kaczmarz
+}
+
+
+def build_data():
+    """All problem data in numpy f64, seeded — identical in both modes."""
+    rng = np.random.default_rng(0)
+    d = {}
+    # 1. CGNR dense 64x64 — two variants:
+    #    * well-conditioned (cond ~8): CG converges inside the budget, so
+    #      the metric isolates KERNEL parity;
+    #    * the raw random gaussian (cond(AtA) ~4e4): 200 CG iterations are
+    #      only partially converged in ANY dtype, so the solution diff
+    #      reflects f32-vs-f64 trajectory divergence (0.03 already on CPU
+    #      f32) — reported as the documented f32 conditioning bound.
+    m = 64
+    raw = rng.normal(size=(m, m)) / np.sqrt(m)
+    d["A1"] = 0.5 * np.eye(m) + 0.25 * raw
+    d["A1i"] = raw
+    d["x1"] = rng.normal(size=(m,))
+    # 2. FISTA-L1 CS
+    N = CFG["N2"]
+    img = np.zeros((N, N))
+    for _ in range(8):
+        i0, j0 = rng.integers(0, N - 20, 2)
+        img[i0:i0 + 12, j0:j0 + 12] += rng.uniform(0.3, 1.0)
+    d["idx2"] = np.sort(rng.choice(N * N, size=int(0.35 * N * N),
+                                   replace=False))
+    d["x2"] = img.reshape(-1)
+    # 3. ADMM-TV deblur
+    g = np.exp(-((np.arange(9) - 4) ** 2) / 8.0)
+    k2 = np.outer(g, g)
+    d["kern3"] = k2 / k2.sum()
+    img3 = np.zeros((N, N))
+    for _ in range(6):
+        i0, j0 = rng.integers(0, N - 40, 2)
+        img3[i0:i0 + 30, j0:j0 + 30] += rng.uniform(0.3, 1.0)
+    d["x3"] = img3.reshape(-1)
+    # 4. SplitBregman SENSE (bench_suite's coil geometry)
+    H = CFG["H4"]; C = CFG["C4"]
+    rng4 = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:H, 0:H] / H
+    maps = np.stack(
+        [(np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) * 2.0) + 0.15)
+         * np.exp(1j * (cx * yy - cy * xx) * 2)
+         for cy, cx in rng4.uniform(0, 1, size=(C, 2))]
+    )
+    maps /= np.sqrt((np.abs(maps) ** 2).sum(0))
+    d["maps4"] = maps
+    mask = (rng4.uniform(size=(H, H)) < 0.45).astype(np.float64)
+    mask[H // 2 - 10:H // 2 + 10, H // 2 - 10:H // 2 + 10] = 1.0
+    d["mask4"] = mask
+    xs = np.zeros((CFG["SLICES4"], H, H), np.complex128)
+    for s in range(CFG["SLICES4"]):
+        r = np.random.default_rng(s)
+        for _ in range(5):
+            i0, j0 = r.integers(4, H - 36, 2)
+            xs[s, i0:i0 + 28, j0:j0 + 28] += r.uniform(0.4, 1.0) * np.exp(
+                1j * r.uniform(0, 1))
+    d["x4"] = xs
+    # 5. Kaczmarz tall sparse-ish
+    Ak = rng.normal(size=(CFG["MK"], CFG["NK"]))
+    Ak[rng.uniform(size=Ak.shape) < 0.7] = 0.0
+    d["A5"] = Ak
+    d["x5"] = np.abs(rng.normal(size=(CFG["NK"],)))
+    return d
+
+
+def run_mode(mode: str, out_path: str):
+    import jax
+
+    if mode == "cpu64":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        dt = "float64"
+        compensated = False
+    else:
+        dt = "float32"
+        compensated = True
+    jax.config.update("jax_compilation_cache_dir", f"{REPO}/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+    import jax.numpy as jnp
+
+    import rls_tpu as rt
+    from rls_tpu.models.solvers import (
+        solve, solve_batched, solve_batched_unrolled, solve_unrolled)
+
+    # cpu64 uses the while-loop drivers: identical per-step trajectory to
+    # the unrolled drivers (fixed-iteration done()), minutes less compile
+    s_one = solve_unrolled if mode == "chip" else solve
+    s_bat = solve_batched_unrolled if mode == "chip" else solve_batched
+
+    d = build_data()
+    jdt = jnp.dtype(dt)
+    sols = {}
+
+    def J(a):
+        return jnp.asarray(np.asarray(a, dt))
+
+    # ---- 1. CGNR + L2 -----------------------------------------------------
+    # compensated matvecs: 200 f32 CG iterations on bf16-rounded matvecs
+    # (~4e-3 each) would diverge from the f64 trajectory at the 1e-1 level
+    for key, mat in (("cgnr_l2_dense64", d["A1"]),
+                     ("cgnr_l2_dense64_illcond", d["A1i"])):
+        A1 = J(mat)
+        b1 = J(mat @ d["x1"])
+        s1 = rt.CGNR.create(
+            rt.DenseOperator(A1, compensated=(mode == "chip")),
+            reg=rt.L2Regularization(1e-6), iterations=200)
+        sols[key] = {
+            "x": np.asarray(jax.jit(lambda b: s_one(s1, b))(b1)),
+            "b": np.asarray(b1), "op": "dense1",
+        }
+
+    # ---- 2. FISTA + L1 CS -------------------------------------------------
+    N = CFG["N2"]
+    op2 = rt.SubsampledDFT2RealOperator.from_sample_idx(
+        jnp.asarray(d["idx2"], jnp.int32), (N, N),
+        compensated=compensated, dtype=jdt,
+    )
+    b2 = op2.mv(J(d["x2"]))
+    s2 = rt.FISTA.create(op2, reg=rt.L1Regularization(2e-3),
+                         iterations=CFG["ITERS2"], rho=0.95, rel_tol=0.0,
+                         track_residual=False)
+    if mode == "chip":
+        from rls_tpu.kernels import solve_fista_l1_dft_fused
+
+        x2 = np.asarray(jax.jit(
+            lambda B: solve_fista_l1_dft_fused(s2, B))(b2[:, None]))[:, 0]
+    else:
+        x2 = np.asarray(jax.jit(lambda b: s_one(s2, b))(b2))
+    sols["fista_l1_cs_dft256"] = {"x": x2, "b": np.asarray(b2), "op": "dft2"}
+
+    # ---- 3. ADMM + TV deblur ----------------------------------------------
+    op3 = rt.SeparableConvOperator.from_kernel(
+        d["kern3"], im_shape=(N, N), dtype=jdt, compensated=compensated)
+    b3 = op3.mv(J(d["x3"]))
+    s3 = rt.ADMM.create(
+        op3,
+        reg=rt.TVRegularization(2e-3, shape=(N, N), iterations_tv=8,
+                                unroll=True),
+        iterations=CFG["ITERS3"], iterations_cg=CFG["CG3"], unroll_cg=True,
+        rho=0.1,
+    )
+    if mode == "chip":
+        from rls_tpu.kernels import solve_admm_tv_fused
+
+        x3 = np.asarray(jax.jit(
+            lambda B: solve_admm_tv_fused(s3, B))(b3[:, None]))[:, 0]
+    else:
+        x3 = np.asarray(jax.jit(lambda b: s_one(s3, b))(b3))
+    sols["admm_tv_deblur256"] = {"x": x3, "b": np.asarray(b3), "op": "conv3"}
+
+    # ---- 4. SplitBregman L21+TV SENSE --------------------------------------
+    H = CFG["H4"]; n4 = H * H
+    op4 = rt.SenseDFT2RealOperator.from_maps(
+        d["maps4"], d["mask4"], (H, H), compensated=compensated, dtype=jdt)
+    X4 = jnp.asarray(np.concatenate(
+        [d["x4"].real.reshape(CFG["SLICES4"], -1),
+         d["x4"].imag.reshape(CFG["SLICES4"], -1)], axis=1).astype(dt))
+    B4 = jax.vmap(op4.mv)(X4).T
+    s4 = rt.SplitBregman.create(
+        op4,
+        reg=[rt.L21Regularization(1e-4, slices=2),
+             rt.TVRegularization(1e-4, shape=(2, H, H), dims=(1, 2),
+                                 iterations_tv=5, unroll=True)],
+        reg_trafo=[rt.IdentityOperator(2 * n4, jdt),
+                   rt.IdentityOperator(2 * n4, jdt)],
+        iterations=4, iterations_inner=8, iterations_cg=8, unroll_cg=True,
+        rho=[0.01, 0.01],
+    )
+    if mode == "chip":
+        from rls_tpu.kernels import solve_splitbregman_l1_tv_fused
+
+        x4 = np.asarray(jax.jit(
+            lambda B: solve_splitbregman_l1_tv_fused(s4, B))(B4))
+    else:
+        x4 = np.asarray(jax.jit(s_bat)(s4, B4))
+    sols["splitbregman_sense128"] = {"x": x4, "b": np.asarray(B4),
+                                     "op": "sense4"}
+
+    # ---- 5. randomized Kaczmarz + positivity -------------------------------
+    A5 = J(d["A5"])
+    b5 = J(d["A5"] @ d["x5"])
+    s5 = rt.Kaczmarz.create(
+        rt.DenseOperator(A5),
+        reg=[rt.L2Regularization(1e-6), rt.PositiveRegularization()],
+        iterations=CFG["T5"], randomized=True, sub_matrix_fraction=0.0625,
+        precompute_order=True,
+    )
+    if mode == "chip":
+        from rls_tpu.kernels import solve_kaczmarz_streamed
+
+        x5 = np.asarray(jax.jit(
+            lambda B: solve_kaczmarz_streamed(s5, B))(b5[:, None]))[:, 0]
+    else:
+        x5 = np.asarray(jax.jit(lambda b: s_one(s5, b))(b5))
+    sols["kaczmarz_rand_pos_tall"] = {"x": x5, "b": np.asarray(b5),
+                                      "op": "dense5"}
+
+    np.savez(out_path, **{
+        f"{k}__{f}": v for k, s in sols.items() for f, v in s.items()
+        if f != "op"
+    })
+    print(f"{mode}: wrote {out_path}", file=sys.stderr)
+
+
+def residual_norm(name, x, b):
+    """‖Ax − b‖ in f64 using numpy-rebuilt operators (mode-independent)."""
+    d = build_data()
+    if name == "cgnr_l2_dense64":
+        return np.linalg.norm(d["A1"] @ x - b)
+    if name == "cgnr_l2_dense64_illcond":
+        return np.linalg.norm(d["A1i"] @ x - b)
+    if name == "kaczmarz_rand_pos_tall":
+        return np.linalg.norm(d["A5"] @ x - b)
+    if name == "fista_l1_cs_dft256":
+        N = CFG["N2"]
+        F = np.fft.fft2(x.reshape(N, N), norm="ortho")
+        mask = np.zeros(N * N)
+        mask[d["idx2"]] = 1.0
+        mask = mask.reshape(N, N)
+        y = np.concatenate([(F.real * mask).ravel(), (F.imag * mask).ravel()])
+        return np.linalg.norm(y - b)
+    if name == "admm_tv_deblur256":
+        from scipy.signal import convolve2d
+
+        N = CFG["N2"]
+        y = convolve2d(x.reshape(N, N), d["kern3"], mode="same",
+                       boundary="fill")
+        return np.linalg.norm(y.ravel() - b)
+    if name == "splitbregman_sense128":
+        H = CFG["H4"]; n = H * H
+        xs = (x[:n, :] + 1j * x[n:, :]).T.reshape(-1, H, H)
+        ys = []
+        for s in range(xs.shape[0]):
+            per = [d["mask4"] * np.fft.fft2(d["maps4"][c] * xs[s],
+                                            norm="ortho")
+                   for c in range(CFG["C4"])]
+            ys.append(np.stack([np.stack([p.real, p.imag]) for p in per]))
+        y = np.stack(ys).reshape(xs.shape[0], -1).T
+        return np.linalg.norm(y - b)
+    raise KeyError(name)
+
+
+def main():
+    if len(sys.argv) == 3:
+        run_mode(sys.argv[1], sys.argv[2])
+        return
+    outs = {}
+    for mode in ("chip", "cpu64"):
+        out = f"/tmp/parity_{mode}.npz"
+        env = dict(os.environ)
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), mode, out],
+            check=True, env=env,
+        )
+        outs[mode] = np.load(out)
+    report = {}
+    for key in [k.rsplit("__", 1)[0] for k in outs["chip"].files
+                if k.endswith("__x")]:
+        xc = outs["chip"][f"{key}__x"].astype(np.float64)
+        x6 = outs["cpu64"][f"{key}__x"]
+        b6 = outs["cpu64"][f"{key}__b"]
+        sol_err = float(np.linalg.norm(xc - x6) / np.linalg.norm(x6))
+        rc = residual_norm(key, xc, b6)
+        r6 = residual_norm(key, x6, b6)
+        report[key] = {
+            "sol_rel_err": round(sol_err, 8),
+            "residual_rel_diff": round(
+                float(abs(rc - r6) / np.linalg.norm(b6)), 8),
+        }
+        print(json.dumps({"config": key, **report[key]}))
+    with open(os.path.join(REPO, "PARITY_r02.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print("wrote PARITY_r02.json")
+
+
+if __name__ == "__main__":
+    main()

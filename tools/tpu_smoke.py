@@ -103,6 +103,43 @@ def main():
     results["fused_fista_l1_dft"] = (np.isfinite(got).all(), dev_err)
     print(f"fused_fista_l1_dft: vs_composed={dev_err:.2e}", file=sys.stderr)
 
+    # streamed whole-solve Kaczmarz (HBM row blocks, randomized order)
+    from rls_tpu.kernels import solve_kaczmarz_streamed
+
+    s = rt.Kaczmarz.create(
+        A, reg=[rt.L2Regularization(1e-6), rt.PositiveRegularization()],
+        iterations=5, randomized=True, sub_matrix_fraction=0.5,
+        precompute_order=True)
+    Bk = jnp.tile(jnp.abs(bk)[:, None], (1, 2))
+    got = np.asarray(jax.jit(lambda B: solve_kaczmarz_streamed(s, B))(Bk))
+    want = np.asarray(jax.jit(lambda B: solve_batched_unrolled(s, B))(Bk))
+    dev_err = float(np.abs(got - want).max() / (np.abs(want).max() + 1e-30))
+    results["kaczmarz_streamed"] = (np.isfinite(got).all(), dev_err)
+    print(f"kaczmarz_streamed: vs_composed={dev_err:.2e}", file=sys.stderr)
+
+    # SVD proxes on-chip: Jacobi SVT vs CPU f64 (nuclear + LLR)
+    from rls_tpu.ops.jacobi_svd import svt_jacobi
+
+    Ab = jnp.asarray(rng.normal(size=(16, 48, 6)).astype(np.float32))
+    got = np.asarray(jax.jit(lambda a: svt_jacobi(a, 0.8))(Ab))
+    u64, s64, vt64 = np.linalg.svd(np.asarray(Ab, np.float64),
+                                   full_matrices=False)
+    want = (u64 * np.maximum(s64 - 0.8, 0)[..., None, :]) @ vt64
+    dev_err = float(np.linalg.norm(got - want) / np.linalg.norm(want))
+    results["svt_jacobi"] = (np.isfinite(got).all(), dev_err)
+    print(f"svt_jacobi: vs_f64={dev_err:.2e}", file=sys.stderr)
+    assert dev_err < 1e-4, "Jacobi SVT must hold 1e-4 parity on chip"
+
+    nreg = rt.NuclearRegularization(0.05, svt_shape=(32, 32))
+    xn = jnp.asarray(rng.normal(size=(32 * 32,)).astype(np.float32))
+    got = np.asarray(jax.jit(nreg.prox)(xn))
+    results["nuclear_prox"] = (np.isfinite(got).all(), 0.0)
+    lreg = rt.LLRRegularization(0.05, shape=(32, 32), block_size=(8, 8))
+    xl = jnp.asarray(rng.normal(size=(32 * 32 * 4,)).astype(np.float32))
+    got = np.asarray(jax.jit(lreg.prox)(xl))
+    results["llr_prox"] = (np.isfinite(got).all(), 0.0)
+    print("nuclear/llr prox: finite on chip", file=sys.stderr)
+
     bad = [k for k, (ok, err) in results.items() if not ok or err > 0.9]
     print("SMOKE", "PASS" if not bad else f"FAIL {bad}")
     return 0 if not bad else 1
