@@ -206,7 +206,9 @@ def check_admm_tv_fused(solver):
 
 def _check_vmem_admm_tv(H, W):
     vmem_bytes = (14 * H * W + 2 * 3 * H * W + 3 * H * H + 3 * W * W) * 4
-    if vmem_bytes > 100 * 1024 * 1024:
+    # 16 MiB: the TPU scoped-VMEM budget (verified empirically — the
+    # fused FISTA-TV kernel compiles at 384^2, Mosaic OOMs at 512^2)
+    if vmem_bytes > 16 * 1024 * 1024:
         raise ValueError(
             f"fused ADMM-TV working set ~{vmem_bytes/2**20:.0f} MiB exceeds "
             "VMEM; use the composed solve path"

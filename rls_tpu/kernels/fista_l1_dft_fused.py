@@ -188,7 +188,9 @@ def check_fista_l1_dft_fused(solver):
 def _check_vmem_fista_l1_dft(H, W):
     # four stacked factors: lfr/lfi (H,3H) and rfr/rfi (3W,W)
     vmem_bytes = (10 * H * W + 4 * 3 * H * W + 6 * H * H + 6 * W * W + H * W) * 4
-    if vmem_bytes > 100 * 1024 * 1024:
+    # 16 MiB: the TPU scoped-VMEM budget (verified empirically — the
+    # fused FISTA-TV kernel compiles at 384^2, Mosaic OOMs at 512^2)
+    if vmem_bytes > 16 * 1024 * 1024:
         raise ValueError(
             f"fused FISTA-L1-DFT working set ~{vmem_bytes/2**20:.0f} MiB "
             "exceeds VMEM; use the composed solve path"

@@ -289,7 +289,9 @@ def _check_vmem_pgm_tv(H, W):
     # VMEM guard: live set ≈ x, x_old, x0hat, momentum/residual temps, 4 TV
     # duals + 2 stacked concat temps (3×) + the two Gram factor blocks
     vmem_bytes = (12 * H * W + 2 * 3 * H * W + 3 * H * H + 3 * W * W) * 4
-    if vmem_bytes > 100 * 1024 * 1024:
+    # 16 MiB: the TPU scoped-VMEM budget (verified empirically — the
+    # fused FISTA-TV kernel compiles at 384^2, Mosaic OOMs at 512^2)
+    if vmem_bytes > 16 * 1024 * 1024:
         raise ValueError(
             f"fused FISTA-TV working set ~{vmem_bytes/2**20:.0f} MiB exceeds "
             "VMEM; use the composed solve path"

@@ -242,7 +242,9 @@ def _check_vmem_splitbregman(H, W, C):
         + 6 * H * H + 6 * W * W  # four stacked DFT factors
         + (2 * C + 1) * H * W  # coil maps + mask
     ) * 4
-    if vmem_bytes > 100 * 1024 * 1024:
+    # 16 MiB: the TPU scoped-VMEM budget (verified empirically — the
+    # fused FISTA-TV kernel compiles at 384^2, Mosaic OOMs at 512^2)
+    if vmem_bytes > 16 * 1024 * 1024:
         raise ValueError(
             f"fused SplitBregman working set ~{vmem_bytes/2**20:.0f} MiB "
             "exceeds VMEM; use the composed solve path"

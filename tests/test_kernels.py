@@ -383,3 +383,21 @@ def test_solve_batched_fast_warns_on_fallback(rng):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         solve_batched_fast(s_fused, B)
+
+
+def test_fused_vmem_guard_rejects_512(rng):
+    """Beyond the 16 MiB scoped-VMEM budget (empirically: Mosaic OOMs at
+    512^2) the checks must reject so solve_batched_fast falls back to the
+    composed path instead of a compile-time crash."""
+    from rls_tpu.kernels.fista_tv_fused import check_pgm_tv_fused
+
+    n = 512
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    sep = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=3, unroll=True)
+    s = rt.FISTA.create(sep, reg=reg, iterations=2, rho=0.9, rel_tol=0.0,
+                        track_residual=False)
+    with pytest.raises(ValueError, match="VMEM"):
+        check_pgm_tv_fused(s)
