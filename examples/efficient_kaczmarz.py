@@ -34,3 +34,14 @@ lam_vec = jnp.asarray(rng.uniform(0.5, 2.0, size=(64,)), jnp.float32) * 1e-6
 solver = rt.Kaczmarz.create(A, reg=rt.L2Regularization(lam_vec), iterations=20)
 x = rt.solve(solver, b)
 print("vector-λ rel. error:", float(jnp.linalg.norm(x - x_true) / jnp.linalg.norm(x_true)))
+
+# streamed whole-solve Pallas fast path: A streamed from HBM in row blocks
+# (no VMEM matrix limit), randomized order precomputed at construction so
+# the sweep runs on restricted TPU runtimes too
+solver = rt.Kaczmarz.create(
+    A, reg=rt.L2Regularization(1e-6), iterations=20,
+    randomized=True, sub_matrix_fraction=0.5, precompute_order=True,
+)
+X = rt.solve_kaczmarz_streamed(solver, b[:, None])
+err = float(jnp.linalg.norm(X[:, 0] - x_true) / jnp.linalg.norm(x_true))
+print(f"streamed randomized: rel_err={err:.2e}")

@@ -51,6 +51,50 @@ def make_gram_normal(lcat, rcat, dtype):
     return normal
 
 
+def rne_bf16_f32(v):
+    """Round-to-nearest-even to the bf16 grid, staying f32 — by integer
+    bit arithmetic, so the XLA/Mosaic simplifiers cannot elide it (a
+    convert round-trip would be removed). Matches `convert(v, bf16)`
+    bit-exactly for finite inputs."""
+    vi = lax.bitcast_convert_type(v, jnp.uint32)
+    lsb = (vi >> 16) & jnp.uint32(1)
+    rounded = vi + jnp.uint32(0x7FFF) + lsb
+    return lax.bitcast_convert_type(rounded & jnp.uint32(0xFFFF0000), jnp.float32)
+
+
+def make_gram_normal_noconcat(l2, lh, r2, rh, dtype):
+    """Compensated Gram sandwich WITHOUT the runtime `[xh; xl; xh]` concat
+    buffers: `B u ≈ B_hi u_hi + B_lo u_hi + B_hi u_lo` as one stacked-
+    OUTPUT matmul `[B_hi; B_lo] @ u_hi` (halves added) plus the correction
+    `B_hi @ u_lo`. Both operands of every matmul are exactly
+    bf16-representable (truncation split), so the math is identical on
+    bf16-rounding MXUs and f32-native backends — same MAC count as
+    make_gram_normal, no (3H, W)/(H, 3W) temporaries.
+
+    `l2`/`r2` are the output-stacked [hi; lo] factors, `lh`/`rh` the hi
+    factors alone.
+    """
+    H = lh.shape[0]
+    W = rh.shape[1]
+
+    def left(u):
+        uh, ul = split_bf16(u)
+        m2 = jnp.dot(l2, uh, preferred_element_type=dtype)  # (2H, W)
+        corr = jnp.dot(lh, ul, preferred_element_type=dtype)
+        return m2[:H] + m2[H:] + corr
+
+    def right(m):
+        mh, ml = split_bf16(m)
+        m2 = jnp.dot(mh, r2, preferred_element_type=dtype)  # (H, 2W)
+        corr = jnp.dot(ml, rh, preferred_element_type=dtype)
+        return m2[:, :W] + m2[:, W:] + corr
+
+    def normal(u):
+        return right(left(u))
+
+    return normal
+
+
 def make_split_dft(lfr, lfi, rfr, rfi, dtype):
     """Compensated split-real 2-D DFT sandwiches `(cfwd, cadj)`.
 

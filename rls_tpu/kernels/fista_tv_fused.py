@@ -97,7 +97,11 @@ def _momentum_table(method: str, iterations: int, theta0: float = 1.0):
     return tab.astype(np.float32)
 
 
-from ._fgp_common import make_gram_normal, make_tv_fgp  # noqa: E402
+from ._fgp_common import (  # noqa: E402
+    make_gram_normal,
+    make_gram_normal_noconcat,
+    make_tv_fgp,
+)
 
 
 def _kernel(
@@ -111,6 +115,7 @@ def _kernel(
     iterations: int,
     tv_iterations: int,
     method: str,
+    gram: str = "stacked",
 ):
     x0hat = x0_ref[0]
     lcat = lcat_ref[...]
@@ -121,7 +126,15 @@ def _kernel(
     H, W = x0hat.shape
     f32 = x0hat.dtype
 
-    normal = make_gram_normal(lcat, rcat, f32)
+    if gram == "noconcat":
+        # derive the output-stacked [hi; lo] factors once per grid step
+        l2 = jnp.concatenate([lcat[:, :H], lcat[:, 2 * H :]], axis=0)
+        r2 = jnp.concatenate([rcat[:W], rcat[2 * W :]], axis=1)
+        normal = make_gram_normal_noconcat(
+            l2, lcat[:, :H], r2, rcat[:W], f32
+        )
+    else:
+        normal = make_gram_normal(lcat, rcat, f32)
     _, fgp_n = make_tv_fgp(H, W, f32)
 
     def fgp(xg, lam_tv):
@@ -178,6 +191,7 @@ def fista_tv_fused(
     tv_iterations: int,
     interpret: bool = False,
     method: str = "fista",
+    gram: str = "stacked",
 ):
     B, H, W = x0hat_b.shape
     scal = jnp.stack(
@@ -195,6 +209,7 @@ def fista_tv_fused(
             iterations=iterations,
             tv_iterations=tv_iterations,
             method=method,
+            gram=gram,
         ),
         grid=(B,),
         in_specs=[
