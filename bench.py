@@ -134,9 +134,10 @@ def main():
     mxu_flops = ITERS * 2 * (2 * N * (3 * N) * N)
     vpu_flops = ITERS * ((10 * 27 + 10) * N * N)  # iterations_tv = 10
     achieved_tflops = (mxu_flops + vpu_flops) * problems_per_s / 1e12
-    # v5e-1 peak: 197 TFLOP/s bf16 (MXU); the kernel is VPU/latency-bound,
-    # so MFU vs the MXU peak is the honest "how far from speed-of-light"
-    mfu = (mxu_flops * problems_per_s / 1e12) / 197.0
+    # 197 TFLOP/s bf16 per v5e chip; problems_per_s counts ALL chips, so
+    # normalize by n_dev. The kernel is VPU/latency-bound — MFU vs the MXU
+    # peak is the honest "how far from speed-of-light"
+    mfu = (mxu_flops * problems_per_s / 1e12) / (197.0 * n_dev)
     print(
         json.dumps(
             {

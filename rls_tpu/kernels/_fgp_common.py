@@ -25,8 +25,10 @@ from ..ops._precise import split_bf16
 __all__ = [
     "make_tv_fgp",
     "make_gram_normal",
+    "make_gram_normal_noconcat",
     "make_split_dft",
     "make_sense_normal",
+    "rne_bf16_f32",
     "split_bf16",
 ]
 

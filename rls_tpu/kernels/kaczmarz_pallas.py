@@ -388,6 +388,24 @@ def solve_kaczmarz_streamed(
     T = solver.iterations
 
     B_mat = jnp.asarray(B_mat)
+    if not is_complex and jnp.issubdtype(B_mat.dtype, jnp.complexfloating):
+        # real A, complex b: the row recurrence decouples exactly into two
+        # real problems (τ, α, and every update split componentwise), so
+        # solve [Re B, Im B] as 2K stacked problems and recombine
+        if prox != "none":
+            raise ValueError(
+                "streamed path: Positive/Real projections act on the "
+                "COMPLEX iterate and do not decouple for a real A with "
+                "complex b; use the scan path"
+            )
+        re = solve_kaczmarz_streamed(
+            solver,
+            jnp.concatenate([B_mat.real, B_mat.imag], axis=1),
+            interpret=interpret,
+            block_rows=block_rows,
+        )
+        K = B_mat.shape[1]
+        return (re[:, :K] + 1j * re[:, K:]).astype(B_mat.dtype)
     bt = B_mat.T  # (P, m)
     states = jax.vmap(solver.init)(bt)
     P = bt.shape[0]

@@ -222,10 +222,12 @@ class TVRegularization(ParameterizedRegularization):
 
 
 def _use_jacobi(m, method: str) -> bool:
-    """Jacobi SVT applies to real input; "auto" additionally caps the
-    minor dimension (the sweep loop is unrolled n−1 steps per sweep, so
-    compile time grows with min(m, n))."""
-    if jnp.issubdtype(m.dtype, jnp.complexfloating):
+    """Jacobi SVT applies to REAL F32 input (the compensated final matmul
+    bit-splits f32; f64 runs XLA's SVD, which is accurate on f64-native
+    backends); "auto" additionally caps the minor dimension (the sweep
+    loop is unrolled n−1 steps per sweep, so compile time grows with
+    min(m, n))."""
+    if m.dtype != jnp.float32:
         return False
     if method == "jacobi":
         return True

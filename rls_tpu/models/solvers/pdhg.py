@@ -119,6 +119,14 @@ class PDHG(LinearSolver):
         if isinstance(core, TVRegularization):
             reg_kind = "tv"
             shape = tuple(shape) if shape is not None else tuple(core.shape)
+            # the reference's 8-direction scheme is strictly 2-D and real
+            # (PrimalDualSolver.jl is real-matrix-only); fall back to the
+            # isotropic projection for shapes/dtypes it cannot represent
+            if tv_scheme == "8dir" and (
+                len(shape) != 2
+                or jnp.issubdtype(A_op.dtype, jnp.complexfloating)
+            ):
+                tv_scheme = "isotropic"
             if tv_scheme == "8dir":
                 trafo = Grad8Operator(im_shape=shape, _dtype=A_op.dtype)
             else:

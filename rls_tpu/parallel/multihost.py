@@ -36,35 +36,28 @@ def initialize_multihost(
     silently degrade a pod job to one process."""
     if jax.distributed.is_initialized():
         return
-    if num_processes == 1 or (
+    if num_processes == 1:
+        return
+    if (
         coordinator_address is None
         and num_processes is None
         and process_id is None
-        and not _looks_like_multihost_env()
     ):
-        # single-process: nothing to set up
+        # all-None: rely on jax's cluster auto-detection (TPU pod metadata,
+        # SLURM, …). Failure here means "no cluster environment" — the
+        # documented single-process no-op — so it alone may be swallowed.
+        try:
+            jax.distributed.initialize()
+        except (RuntimeError, ValueError):
+            pass
         return
+    # explicit configuration: a failure is a real error (bad coordinator,
+    # rendezvous timeout) and must PROPAGATE — swallowing it would silently
+    # degrade a pod job to one process
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
-    )
-
-
-def _looks_like_multihost_env() -> bool:
-    """Auto-detection is only meaningful on TPU pod VMs / cluster envs."""
-    import os
-
-    return any(
-        k in os.environ
-        for k in (
-            "COORDINATOR_ADDRESS",
-            "JAX_COORDINATOR_ADDRESS",
-            "MEGASCALE_COORDINATOR_ADDRESS",
-            "TPU_WORKER_HOSTNAMES",
-            "SLURM_JOB_NUM_NODES",
-            "OMPI_COMM_WORLD_SIZE",
-        )
     )
 
 

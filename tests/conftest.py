@@ -35,6 +35,84 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """On the real-TPU platform, skip tests that touch the two features
+    the tunneled runtime genuinely lacks: complex dtypes and FFT.
+
+    This matters beyond correctness: a complex-array TRANSFER fails with
+    UNIMPLEMENTED and leaves the runtime session poisoned — every later
+    device_put in the process fails too — so these tests must never start.
+    Detection is by source inspection of the test function (plus
+    module-level helpers), mirroring the reference's one-suite-N-backends
+    strategy with capability-based skips (test/runtests.jl:1-15).
+    """
+    if _platform == "cpu":
+        return
+    import inspect
+    import re
+
+    pattern = re.compile(
+        r"complex|1j\b|\bfft\b|Fourier|FFTOperator|ConvolutionOperator"
+    )
+    skip = pytest.mark.skip(
+        reason="restricted TPU runtime: complex dtypes / FFT unsupported "
+        "(a complex transfer poisons the session)"
+    )
+    module_hits = {}
+    for item in items:
+        fn = getattr(item, "function", None)
+        if fn is None:
+            continue
+        # boolean complex-flag parametrizations decide directly: the True
+        # variant is skipped, the False variant runs (its source mentions
+        # "complex" only to thread the flag)
+        callspec = getattr(item, "callspec", None)
+        cflags = [
+            v
+            for k, v in (callspec.params if callspec else {}).items()
+            if "complex" in k.lower() and isinstance(v, bool)
+        ]
+        if cflags:
+            if any(cflags):
+                item.add_marker(skip)
+            continue
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            continue
+        mod = fn.__module__
+        if mod not in module_hits:
+            # helpers outside the test body (fixture builders etc.)
+            try:
+                msrc = inspect.getsource(sys.modules[mod])
+            except (OSError, TypeError, KeyError):
+                msrc = ""
+            module_hits[mod] = {
+                name
+                for name, obj in vars(sys.modules.get(mod, object())).items()
+                if callable(obj)
+                and not name.startswith("test_")
+                and _src_matches(obj, pattern)
+            } if msrc else set()
+        hits = module_hits[mod]
+        if pattern.search(src) or any(
+            re.search(rf"\b{re.escape(h)}\b", src) for h in hits
+        ):
+            item.add_marker(skip)
+
+
+def _src_matches(obj, pattern):
+    import inspect
+
+    try:
+        return bool(pattern.search(inspect.getsource(obj)))
+    except (OSError, TypeError):
+        return False
+
+
+import sys  # noqa: E402
+
+
 @pytest.fixture()
 def rng():
     # function-scoped on purpose: a shared (session-scoped) Generator makes

@@ -146,3 +146,28 @@ def test_prox_tv_conj_8dir_semantics(rng):
         gn = np.sqrt((ref**2).sum(axis=0))
         ref[k] = w[k] * np.sign(ref[k]) * np.minimum(gn, alpha)
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_pdhg_8dir_falls_back_for_3d_and_complex(rng):
+    """The 8-direction scheme is strictly 2-D/real; create() must fall
+    back to the isotropic projection instead of crashing or silently
+    computing a wrong complex dual prox."""
+    n = 6
+    # 3-D TV shape
+    A = jnp.asarray(rng.normal(size=(2 * n * n * 2, 2 * n * n)), jnp.float32)
+    s = rt.PDHG.create(
+        A, reg=rt.TVRegularization(1e-4, shape=(2, n, n)), shape=(2, n, n),
+        iterations=2,
+    )
+    assert s.tv_scheme == "isotropic"
+    # complex operator
+    Ac = jnp.asarray(
+        rng.normal(size=(2 * n * n, n * n))
+        + 1j * rng.normal(size=(2 * n * n, n * n)),
+        jnp.complex64,
+    )
+    s = rt.PDHG.create(
+        Ac, reg=rt.TVRegularization(1e-4, shape=(n, n)), shape=(n, n),
+        iterations=2,
+    )
+    assert s.tv_scheme == "isotropic"

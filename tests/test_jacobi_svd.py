@@ -87,3 +87,14 @@ def test_llr_complex_falls_back_to_xla(rng):
                                randshift=False)
     out = np.asarray(reg.prox(x))
     assert out.dtype == np.complex64 and np.isfinite(out).all()
+
+
+def test_auto_routes_f64_to_xla(rng):
+    """float64 must not reach the f32-only Jacobi path (bit-split crashes
+    on f64); "auto" falls back to XLA's SVD, which is accurate there."""
+    from rls_tpu.models.prox import _use_jacobi
+
+    # numpy arrays: jnp would silently downcast f64 -> f32 without x64,
+    # and _use_jacobi only inspects .dtype/.shape
+    assert not _use_jacobi(np.zeros((8, 6), np.float64), "auto")
+    assert _use_jacobi(np.zeros((8, 6), np.float32), "auto")

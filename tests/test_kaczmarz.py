@@ -285,3 +285,33 @@ def test_kaczmarz_precomputed_order_scan_path(rng):
     x2 = np.asarray(solve_unrolled(s, b))
     np.testing.assert_array_equal(x1, x2)
     assert np.linalg.norm(x1 - xt) / np.linalg.norm(xt) < 0.05
+
+
+def test_kaczmarz_streamed_real_A_complex_b(rng):
+    """Real A with complex b decouples into two real problems (the scan
+    path's semantics); the streamed wrapper must recombine, not silently
+    drop the imaginary part."""
+    from rls_tpu.kernels.kaczmarz_pallas import solve_kaczmarz_streamed
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    m, n, P = 24, 16, 2
+    A = rng.normal(size=(m, n)).astype(np.float32)
+    Bc = jnp.asarray(
+        rng.normal(size=(m, P)) + 1j * rng.normal(size=(m, P)), jnp.complex64
+    )
+    s = rt.Kaczmarz.create(rt.DenseOperator(jnp.asarray(A)),
+                           reg=rt.L2Regularization(1e-3), iterations=3)
+    want = np.asarray(solve_batched_unrolled(s, Bc))
+    got = np.asarray(
+        solve_kaczmarz_streamed(s, Bc, block_rows=8, interpret=True)
+    )
+    assert got.dtype == np.complex64
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-5
+
+    # with a projection term the decoupling is invalid -> explicit error
+    s2 = rt.Kaczmarz.create(
+        rt.DenseOperator(jnp.asarray(A)),
+        reg=[rt.L2Regularization(1e-3), rt.PositiveRegularization()],
+        iterations=3)
+    with pytest.raises(ValueError, match="decouple"):
+        solve_kaczmarz_streamed(s2, Bc, block_rows=8, interpret=True)

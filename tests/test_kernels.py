@@ -401,3 +401,37 @@ def test_fused_vmem_guard_rejects_512(rng):
                         track_residual=False)
     with pytest.raises(ValueError, match="VMEM"):
         check_pgm_tv_fused(s)
+
+
+def test_gram_noconcat_matches_stacked(rng):
+    """The concat-free compensated Gram variant must match the stacked
+    form inside the fused kernel (both operand sets are exactly
+    bf16-representable, so the math is backend-identical)."""
+    from rls_tpu.kernels.fista_tv_fused import fista_tv_fused
+
+    n = 32
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    lcat, rcat = op.cat["normal"]
+    x0 = jnp.asarray(rng.normal(size=(2, n, n)), jnp.float32)
+    a = np.asarray(
+        fista_tv_fused(x0, lcat, rcat, 0.9, 1e-3, 6, 4, interpret=True)
+    )
+    b = np.asarray(
+        fista_tv_fused(x0, lcat, rcat, 0.9, 1e-3, 6, 4, interpret=True,
+                       gram="noconcat")
+    )
+    assert np.linalg.norm(a - b) / np.linalg.norm(a) < 1e-6
+
+
+def test_rne_bf16_trick(rng):
+    from rls_tpu.kernels._fgp_common import rne_bf16_f32
+
+    v = jnp.asarray(
+        rng.normal(size=(1024,)) * np.exp(rng.normal(size=1024) * 3),
+        jnp.float32,
+    )
+    want = jnp.asarray(v, jnp.bfloat16).astype(jnp.float32)
+    assert bool(jnp.all(rne_bf16_f32(v) == want))

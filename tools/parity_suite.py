@@ -40,8 +40,13 @@ CFG = {
 }
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def build_data():
-    """All problem data in numpy f64, seeded — identical in both modes."""
+    """All problem data in numpy f64, seeded — identical in both modes
+    (cached: residual_norm reads it repeatedly)."""
     rng = np.random.default_rng(0)
     d = {}
     # 1. CGNR dense 64x64 — two variants:
