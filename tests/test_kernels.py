@@ -435,3 +435,24 @@ def test_rne_bf16_trick(rng):
     )
     want = jnp.asarray(v, jnp.bfloat16).astype(jnp.float32)
     assert bool(jnp.all(rne_bf16_f32(v) == want))
+
+
+def test_solve_batched_fast_dispatches_kaczmarz(rng):
+    """A streamable Kaczmarz solver rides the streamed kernel through the
+    auto dispatcher (no fallback warning)."""
+    import warnings
+
+    import jax
+
+    from rls_tpu import solve_batched_fast
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    m, n = 24, 16
+    A = rt.DenseOperator(jnp.asarray(rng.normal(size=(m, n)), jnp.float32))
+    s = rt.Kaczmarz.create(A, reg=rt.L2Regularization(1e-3), iterations=3)
+    B = jnp.asarray(rng.normal(size=(m, 2)), jnp.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        got = np.asarray(solve_batched_fast(s, B))
+    want = np.asarray(solve_batched_unrolled(s, B))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)

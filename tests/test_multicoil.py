@@ -5,6 +5,8 @@ Multi-coil forward model: A = [S·F·C₁; S·F·C₂; ...] — coil sensitiviti
 WeightingOperators composed with a subsampled FFT, vertically stacked.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -80,6 +82,10 @@ def test_multicoil_batched_slices(rng):
         assert err < 0.15, f"slice {k}: {err}"
 
 
+@pytest.mark.skipif(
+    os.environ.get("RLS_TPU_TEST_PLATFORM", "cpu") != "cpu",
+    reason="f64 transfers are unsupported on the restricted TPU runtime",
+)
 def test_x64_parity_gate(rng):
     """Residual-match gate at 1e-4 needs f64 on CPU (BASELINE.md):
     CGNR in x64 must match the analytic Tikhonov solution to 1e-6."""
