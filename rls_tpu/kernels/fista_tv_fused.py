@@ -100,6 +100,7 @@ def _momentum_table(method: str, iterations: int, theta0: float = 1.0):
 from ._fgp_common import (  # noqa: E402
     make_gram_normal,
     make_gram_normal_noconcat,
+    make_sepconv_normal_stencil,
     make_tv_fgp,
 )
 
@@ -116,17 +117,22 @@ def _kernel(
     tv_iterations: int,
     method: str,
     gram: str = "stacked",
+    taps: tuple | None = None,
 ):
     x0hat = x0_ref[0]
-    lcat = lcat_ref[...]
-    rcat = rcat_ref[...]
     b = pl.program_id(0)
     rho = scal_ref[b, 0]
     lam = scal_ref[b, 1]
     H, W = x0hat.shape
     f32 = x0hat.dtype
 
-    if gram == "noconcat":
+    if gram == "stencil":
+        # short-tap separable conv: the Gram is 4 zero-padded VPU stencil
+        # passes — exact f32, no MXU, no factor loads
+        normal = make_sepconv_normal_stencil(taps[0], taps[1], H, W, f32)
+    elif gram == "noconcat":
+        lcat = lcat_ref[...]
+        rcat = rcat_ref[...]
         # derive the output-stacked [hi; lo] factors once per grid step
         l2 = jnp.concatenate([lcat[:, :H], lcat[:, 2 * H :]], axis=0)
         r2 = jnp.concatenate([rcat[:W], rcat[2 * W :]], axis=1)
@@ -134,16 +140,24 @@ def _kernel(
             l2, lcat[:, :H], r2, rcat[:W], f32
         )
     else:
-        normal = make_gram_normal(lcat, rcat, f32)
+        normal = make_gram_normal(lcat_ref[...], rcat_ref[...], f32)
     _, fgp_n = make_tv_fgp(H, W, f32)
 
     def fgp(xg, lam_tv):
         return fgp_n(xg, lam_tv, tv_iterations)
 
-    # --- table-driven proximal-gradient loop ------------------------------
-    # carry = (x, m1, m2); m1/m2 are x_prev (FISTA) or (y, z) (OptISTA/POGM).
-    # Semantics mirror fista.py/optista.py/pogm.py step() exactly (with
-    # track_residual=False, no restart, no projections).
+    out_ref[0] = _pgm_loop(
+        normal, fgp, tab_ref, rho, lam, x0hat, iterations, method
+    )
+
+
+def _pgm_loop(normal, fgp, tab_ref, rho, lam, x0hat, iterations, method):
+    """Table-driven proximal-gradient loop shared by the per-problem and
+    grouped kernels. carry = (x, m1, m2); m1/m2 are x_prev (FISTA) or
+    (y, z) (OptISTA/POGM). Semantics mirror fista.py/optista.py/pogm.py
+    step() exactly (track_residual=False, no restart, no projections).
+    `rho`/`lam` may be scalars or broadcastable planes."""
+
     def body(i, carry):
         x, m1, m2 = carry
         a = tab_ref[i, 0]
@@ -178,7 +192,51 @@ def _kernel(
     x, _, _ = lax.fori_loop(
         0, iterations, body, (x_init, x_init, x_init)
     )
-    out_ref[0] = x
+    return x
+
+
+def _kernel_grouped(
+    scal_ref,  # SMEM (B, 2): per-problem [rho, lam_eff]
+    tab_ref,  # SMEM (iterations, 4)
+    x0_ref,  # VMEM (G, H, W): AᴴB for this grid step's G problems
+    out_ref,  # VMEM (G, H, W)
+    *,
+    iterations: int,
+    tv_iterations: int,
+    method: str,
+    taps: tuple,
+    group: int,
+):
+    """G problems per grid step, stacked along the row axis: every
+    elementwise/roll op is G× larger, amortizing the per-op issue
+    overhead that bounds the per-problem kernel. Stencil Gram only
+    (the matmul grams would need block-diagonal factors)."""
+    G = group
+    _, H, W = x0_ref.shape
+    x0hat = x0_ref[...].reshape(G * H, W)
+    f32 = x0hat.dtype
+    b = pl.program_id(0)
+    # per-problem ρ/λ as (G·H, W) planes via an iota select ladder
+    gidx = lax.broadcasted_iota(jnp.int32, (G * H, W), 0) // H
+    rho = None
+    lam = None
+    for g_i in range(G):
+        sel = (gidx == g_i).astype(f32)
+        r_g = scal_ref[b * G + g_i, 0] * sel
+        l_g = scal_ref[b * G + g_i, 1] * sel
+        rho = r_g if rho is None else rho + r_g
+        lam = l_g if lam is None else lam + l_g
+
+    normal = make_sepconv_normal_stencil(
+        taps[0], taps[1], H, W, f32, groups=G
+    )
+    _, fgp_n = make_tv_fgp(H, W, f32, groups=G)
+
+    def fgp(xg, lam_tv):
+        return fgp_n(xg, lam_tv, tv_iterations)
+
+    x = _pgm_loop(normal, fgp, tab_ref, rho, lam, x0hat, iterations, method)
+    out_ref[...] = x.reshape(G, H, W)
 
 
 def fista_tv_fused(
@@ -192,6 +250,8 @@ def fista_tv_fused(
     interpret: bool = False,
     method: str = "fista",
     gram: str = "stacked",
+    taps: tuple | None = None,
+    group: int = 1,
 ):
     B, H, W = x0hat_b.shape
     scal = jnp.stack(
@@ -202,7 +262,36 @@ def fista_tv_fused(
         axis=1,
     )
     tab = jnp.asarray(_momentum_table(method, iterations))
-    _check_vmem_pgm_tv(H, W)
+    _check_vmem_pgm_tv(H * group, W, gram)
+    if group > 1:
+        if gram != "stencil" or taps is None:
+            raise ValueError("group > 1 requires gram='stencil' with taps")
+        if B % group:
+            raise ValueError(f"batch {B} not divisible by group {group}")
+        return pl.pallas_call(
+            functools.partial(
+                _kernel_grouped,
+                iterations=iterations,
+                tv_iterations=tv_iterations,
+                method=method,
+                taps=taps,
+                group=group,
+            ),
+            grid=(B // group,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (group, H, W), lambda b: (b, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (group, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, H, W), x0hat_b.dtype),
+            interpret=interpret,
+        )(scal, tab, x0hat_b)
     return pl.pallas_call(
         functools.partial(
             _kernel,
@@ -210,6 +299,7 @@ def fista_tv_fused(
             tv_iterations=tv_iterations,
             method=method,
             gram=gram,
+            taps=taps,
         ),
         grid=(B,),
         in_specs=[
@@ -300,10 +390,14 @@ def check_pgm_tv_fused(solver):
     return method
 
 
-def _check_vmem_pgm_tv(H, W):
+def _check_vmem_pgm_tv(H, W, gram: str = "stacked"):
     # VMEM guard: live set ≈ x, x_old, x0hat, momentum/residual temps, 4 TV
-    # duals + 2 stacked concat temps (3×) + the two Gram factor blocks
-    vmem_bytes = (12 * H * W + 2 * 3 * H * W + 3 * H * H + 3 * W * W) * 4
+    # duals + 2 stacked concat temps (3×) + the two Gram factor blocks.
+    # The stencil path carries no factor blocks and no concat temps.
+    if gram == "stencil":
+        vmem_bytes = 14 * H * W * 4
+    else:
+        vmem_bytes = (12 * H * W + 2 * 3 * H * W + 3 * H * H + 3 * W * W) * 4
     # 16 MiB: the TPU scoped-VMEM budget (verified empirically — the
     # fused FISTA-TV kernel compiles at 384^2, Mosaic OOMs at 512^2)
     if vmem_bytes > 16 * 1024 * 1024:
@@ -326,6 +420,10 @@ def solve_pgm_tv_fused(solver, B_mat, interpret: bool | None = None):
     op = solver.AHA.A
     reg = solver.reg
     H, W = op.im_shape
+    # concat-free compensation: identical math (both operand sets are
+    # exactly bf16-representable), consistently >= the stacked form in
+    # on-chip A/B windows (skips the (3H, W)/(H, 3W) temporaries)
+    gram = "noconcat"
 
     B_mat = jnp.asarray(B_mat)
     bt = B_mat.T  # (K, n)
@@ -349,5 +447,6 @@ def solve_pgm_tv_fused(solver, B_mat, interpret: bool | None = None):
         reg.iterations_tv,
         interpret=interpret,
         method=method,
+        gram=gram,
     )
     return out.reshape(out.shape[0], H * W).T

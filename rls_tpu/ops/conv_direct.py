@@ -136,6 +136,9 @@ class SeparableConvOperator(LinearOperator):
     cat: Any  # dict: {"mv": (L, R), "rmv": (L, R), "normal": (L, R)}
     im_shape: tuple = static_field()
     compensated: bool = static_field(default=True)
+    # 1-D taps as static floats — the fused kernels' VPU stencil path
+    # (kernels/_fgp_common.make_sepconv_normal_stencil) needs them
+    taps_hw: tuple = static_field(default=None)
 
     def __post_init__(self):
         object.__setattr__(self, "im_shape", tuple(self.im_shape))
@@ -170,6 +173,10 @@ class SeparableConvOperator(LinearOperator):
             cat=cat,
             im_shape=(h, w),
             compensated=compensated,
+            taps_hw=(
+                tuple(float(t) for t in np.asarray(taps_h).ravel()),
+                tuple(float(t) for t in np.asarray(taps_w).ravel()),
+            ),
         )
 
     @classmethod

@@ -456,3 +456,54 @@ def test_solve_batched_fast_dispatches_kaczmarz(rng):
         got = np.asarray(solve_batched_fast(s, B))
     want = np.asarray(solve_batched_unrolled(s, B))
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
+def test_gram_stencil_grouped_matches(rng):
+    """Stencil Gram + G-problem grouping (per-problem rho/lam planes,
+    period-H boundary masks) must match the per-problem stacked kernel."""
+    from rls_tpu.kernels.fista_tv_fused import fista_tv_fused
+
+    n, B = 24, 4
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    lcat, rcat = op.cat["normal"]
+    x0 = jnp.asarray(rng.normal(size=(B, n, n)), jnp.float32)
+    rho = jnp.asarray([0.9, 0.8, 0.95, 0.85], jnp.float32)
+    lam = jnp.asarray([1e-3, 2e-3, 5e-4, 3e-3], jnp.float32)
+    a = np.asarray(fista_tv_fused(x0, lcat, rcat, rho, lam, 5, 4,
+                                  interpret=True))
+    for G in (2, 4):
+        b = np.asarray(fista_tv_fused(
+            x0, lcat, rcat, rho, lam, 5, 4, interpret=True,
+            gram="stencil", taps=op.taps_hw, group=G))
+        assert np.linalg.norm(a - b) / np.linalg.norm(a) < 1e-5, G
+
+
+def test_sepconv_stencil_normal_exact(rng):
+    """The VPU stencil Gram equals the banded-matmul Gram (f64 truth),
+    boundaries included — asymmetric and even-length taps."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    from rls_tpu.kernels._fgp_common import make_sepconv_normal_stencil
+
+    H = W = 24
+    taps_h = np.array([0.1, 0.5, 0.3, 0.07, 0.03])
+    taps_w = np.array([0.2, 0.6, 0.15, 0.05])
+    op = rt.SeparableConvOperator.from_taps(taps_h, taps_w, im_shape=(H, W))
+    u = jnp.asarray(rng.normal(size=(H, W)), jnp.float32)
+    truth = (np.asarray(op.bh, np.float64)
+             @ np.asarray(u, np.float64)
+             @ np.asarray(op.bw, np.float64).T)
+
+    def kern(x_ref, o_ref):
+        st = make_sepconv_normal_stencil(taps_h, taps_w, H, W, jnp.float32)
+        o_ref[...] = st(x_ref[...])
+
+    got = np.asarray(pl.pallas_call(
+        kern, out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+        interpret=True)(u))
+    assert np.linalg.norm(got - truth) / np.linalg.norm(truth) < 1e-6
