@@ -393,9 +393,11 @@ def check_pgm_tv_fused(solver):
 def _check_vmem_pgm_tv(H, W, gram: str = "stacked"):
     # VMEM guard: live set ≈ x, x_old, x0hat, momentum/residual temps, 4 TV
     # duals + 2 stacked concat temps (3×) + the two Gram factor blocks.
-    # The stencil path carries no factor blocks and no concat temps.
+    # The stencil path carries no factor blocks and no concat temps, but
+    # its loop carries + FGP duals + stencil temps still measure ~18
+    # planes (empirical: 384² and 256²-G2 compile, 512² and 256²-G4 OOM).
     if gram == "stencil":
-        vmem_bytes = 14 * H * W * 4
+        vmem_bytes = 18 * H * W * 4
     else:
         vmem_bytes = (12 * H * W + 2 * 3 * H * W + 3 * H * H + 3 * W * W) * 4
     # 16 MiB: the TPU scoped-VMEM budget (verified empirically — the
