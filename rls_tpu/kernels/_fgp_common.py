@@ -7,7 +7,12 @@ admm_tv_fused.py, and fista_l1_dft_fused.py would otherwise copy:
     gradients; duals keep an exactly-zero last row/col, re-masked at the
     clamp so the adjoint needs no masks) and its gradient/adjoint ops;
   * `make_gram_normal(lcat, rcat, dtype)` — the bf16 hi/lo-compensated
-    Gram sandwich `B_h X B_wᵀ` as two stacked MXU matmuls.
+    Gram sandwich `B_h X B_wᵀ` as two stacked MXU matmuls (and the
+    concat-free `make_gram_normal_noconcat` variant);
+  * `make_sepconv_normal_stencil(...)` — the same Gram as four zero-padded
+    VPU stencil passes for short-tap separable kernels;
+  * `make_split_dft` / `make_sense_normal` — the split-real DFT sandwiches
+    and the multi-coil SENSE normal op.
 
 All pure jnp/lax + pltpu.roll — Mosaic-lowerable inside any kernel body.
 Semantics mirror prox.py:prox_tv_fgp (reference ProxTV.jl:89-125) and
@@ -26,6 +31,7 @@ __all__ = [
     "make_tv_fgp",
     "make_gram_normal",
     "make_gram_normal_noconcat",
+    "make_sepconv_normal_stencil",
     "make_split_dft",
     "make_sense_normal",
     "rne_bf16_f32",

@@ -117,7 +117,6 @@ def _kernel(
     tv_iterations: int,
     method: str,
     gram: str = "stacked",
-    taps: tuple | None = None,
 ):
     x0hat = x0_ref[0]
     b = pl.program_id(0)
@@ -126,11 +125,9 @@ def _kernel(
     H, W = x0hat.shape
     f32 = x0hat.dtype
 
-    if gram == "stencil":
-        # short-tap separable conv: the Gram is 4 zero-padded VPU stencil
-        # passes — exact f32, no MXU, no factor loads
-        normal = make_sepconv_normal_stencil(taps[0], taps[1], H, W, f32)
-    elif gram == "noconcat":
+    # (the stencil gram routes through _kernel_grouped, which takes no
+    # factor inputs at all)
+    if gram == "noconcat":
         lcat = lcat_ref[...]
         rcat = rcat_ref[...]
         # derive the output-stacked [hi; lo] factors once per grid step
@@ -262,12 +259,17 @@ def fista_tv_fused(
         axis=1,
     )
     tab = jnp.asarray(_momentum_table(method, iterations))
+    # validation BEFORE the guard: clear errors beat a misleading VMEM one
+    if gram == "stencil" and taps is None:
+        raise ValueError("gram='stencil' requires taps")
+    if group > 1 and gram != "stencil":
+        raise ValueError("group > 1 requires gram='stencil' with taps")
+    if B % group:
+        raise ValueError(f"batch {B} not divisible by group {group}")
     _check_vmem_pgm_tv(H * group, W, gram)
-    if group > 1:
-        if gram != "stencil" or taps is None:
-            raise ValueError("group > 1 requires gram='stencil' with taps")
-        if B % group:
-            raise ValueError(f"batch {B} not divisible by group {group}")
+    if gram == "stencil":
+        # always the factor-free grouped kernel (group may be 1): the
+        # stencil needs no lcat/rcat inputs, so this path never DMAs them
         return pl.pallas_call(
             functools.partial(
                 _kernel_grouped,
@@ -299,7 +301,6 @@ def fista_tv_fused(
             tv_iterations=tv_iterations,
             method=method,
             gram=gram,
-            taps=taps,
         ),
         grid=(B,),
         in_specs=[

@@ -353,6 +353,20 @@ def check_kaczmarz_streamed(solver):
                 "streamed path supports only Positive/Real projections as "
                 f"extra terms, got {type(r).__name__}"
             )
+    # VMEM feasibility: per-problem u/vl/denom live as (m/128, 128) VMEM
+    # tiles plus x planes and the streamed row block — gate so the auto
+    # dispatcher falls back to the composed path instead of a Mosaic OOM
+    m, n = solver.A.mat.shape
+    ncomp = 2 if jnp.issubdtype(solver.A.mat.dtype, jnp.complexfloating) else 1
+    vmem_bytes = (
+        (2 * ncomp + 1) * (-(-m // 128) * 128)  # u, vl, denom tiles
+        + 2 * ncomp * n  # x in/out planes
+    ) * 4 + 2 * 2 * 1024 * 1024  # double-buffered row block
+    if vmem_bytes > 12 * 1024 * 1024:
+        raise ValueError(
+            f"streamed Kaczmarz working set ~{vmem_bytes/2**20:.0f} MiB "
+            "exceeds VMEM; use the scan path"
+        )
     if any(isinstance(r, PositiveRegularization) for r in solver.reg):
         return "positive"
     if any(isinstance(r, RealRegularization) for r in solver.reg):

@@ -136,9 +136,10 @@ class SeparableConvOperator(LinearOperator):
     cat: Any  # dict: {"mv": (L, R), "rmv": (L, R), "normal": (L, R)}
     im_shape: tuple = static_field()
     compensated: bool = static_field(default=True)
-    # 1-D taps as static floats — the fused kernels' VPU stencil path
-    # (kernels/_fgp_common.make_sepconv_normal_stencil) needs them
-    taps_hw: tuple = static_field(default=None)
+    # tap COUNTS only (static): tap VALUES live in the banded factors, so
+    # operators differing only in kernel values keep identical treedefs
+    # (jit-cache keys, vmap structure); taps_hw() re-extracts the values
+    taps_len: tuple = static_field(default=None)
 
     def __post_init__(self):
         object.__setattr__(self, "im_shape", tuple(self.im_shape))
@@ -173,9 +174,8 @@ class SeparableConvOperator(LinearOperator):
             cat=cat,
             im_shape=(h, w),
             compensated=compensated,
-            taps_hw=(
-                tuple(float(t) for t in np.asarray(taps_h).ravel()),
-                tuple(float(t) for t in np.asarray(taps_w).ravel()),
+            taps_len=(
+                int(np.asarray(taps_h).size), int(np.asarray(taps_w).size)
             ),
         )
 
@@ -211,6 +211,22 @@ class SeparableConvOperator(LinearOperator):
     @property
     def dtype(self):
         return self.ah.dtype
+
+    def taps_hw(self):
+        """1-D taps re-extracted from the banded factors (host-side; the
+        fused kernels' VPU stencil path needs them as static floats, so
+        call this on a CONCRETE operator — close the solver over jit).
+        Band layout: ah[c, c + i - k//2] = taps[i] (see _banded)."""
+        import numpy as np
+
+        if self.taps_len is None:
+            raise ValueError("operator was built without tap metadata")
+        out = []
+        for mat, k in ((self.ah, self.taps_len[0]), (self.aw, self.taps_len[1])):
+            c = k // 2
+            row = np.asarray(mat)[c]
+            out.append(tuple(float(t) for t in row[:k]))
+        return tuple(out)
 
     def _comp(self):
         # depends only on the operator config (never the trace-time

@@ -54,7 +54,7 @@ def test_jacobi_svdvals_rankdef(rng):
     np.testing.assert_allclose(s, s64, atol=1e-5)
 
 
-def test_nuclear_prox_jacobi_matches_xla(rng):
+def test_nuclear_prox_jacobi_matches_f64(rng):
     n = 24
     x = jnp.asarray(rng.normal(size=(n * n,)), jnp.float32)
     r_j = rt.NuclearRegularization(0.05, svt_shape=(n, n), svd_method="jacobi")

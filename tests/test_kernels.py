@@ -442,8 +442,6 @@ def test_solve_batched_fast_dispatches_kaczmarz(rng):
     auto dispatcher (no fallback warning)."""
     import warnings
 
-    import jax
-
     from rls_tpu import solve_batched_fast
     from rls_tpu.models.solvers import solve_batched_unrolled
 
@@ -477,15 +475,13 @@ def test_gram_stencil_grouped_matches(rng):
     for G in (2, 4):
         b = np.asarray(fista_tv_fused(
             x0, lcat, rcat, rho, lam, 5, 4, interpret=True,
-            gram="stencil", taps=op.taps_hw, group=G))
+            gram="stencil", taps=op.taps_hw(), group=G))
         assert np.linalg.norm(a - b) / np.linalg.norm(a) < 1e-5, G
 
 
 def test_sepconv_stencil_normal_exact(rng):
     """The VPU stencil Gram equals the banded-matmul Gram (f64 truth),
     boundaries included — asymmetric and even-length taps."""
-    import functools
-
     from jax.experimental import pallas as pl
 
     from rls_tpu.kernels._fgp_common import make_sepconv_normal_stencil
