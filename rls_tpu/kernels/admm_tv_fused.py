@@ -31,7 +31,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ._fgp_common import make_gram_normal, make_tv_fgp
+from ._fgp_common import make_gram_normal_noconcat, make_tv_fgp
 
 __all__ = ["admm_tv_fused", "solve_admm_tv_fused"]
 
@@ -57,7 +57,11 @@ def _kernel(
     H, W = x0hat.shape
     f32 = x0hat.dtype
 
-    normal = make_gram_normal(lcat, rcat, f32)
+    # concat-free compensation (identical math, skips the (3H, W)/(H, 3W)
+    # temporaries — see fista_tv_fused); factors derived once per grid step
+    l2 = jnp.concatenate([lcat[:, :H], lcat[:, 2 * H :]], axis=0)
+    r2 = jnp.concatenate([rcat[:W], rcat[2 * W :]], axis=1)
+    normal = make_gram_normal_noconcat(l2, lcat[:, :H], r2, rcat[:W], f32)
 
     def matvec(v):  # composite AᴴA + ρI
         return normal(v) + rho * v
