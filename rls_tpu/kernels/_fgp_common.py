@@ -113,21 +113,39 @@ def make_split_dft(lfr, lfi, rfr, rfi, dtype):
     reference FFT ops; built split-real for the FFT-less TPU runtime).
     """
 
-    def lmul(l_cat, u):
-        uh, ul = split_bf16(u)
-        return jnp.dot(
-            l_cat,
-            jnp.concatenate([uh, ul, uh], axis=0),
-            preferred_element_type=dtype,
+    H = lfr.shape[0]
+    W = rfr.shape[1]
+    # concat-free compensation (see make_gram_normal_noconcat): derive the
+    # output-stacked [hi; lo] and hi-only factors once, per DFT component
+    lf = {}
+    rf = {}
+    for key, cat in (("fr", lfr), ("fi", lfi)):
+        lf[key] = (
+            jnp.concatenate([cat[:, :H], cat[:, 2 * H :]], axis=0),
+            cat[:, :H],
+        )
+    for key, cat in (("fr", rfr), ("fi", rfi)):
+        rf[key] = (
+            jnp.concatenate([cat[:W], cat[2 * W :]], axis=1),
+            cat[:W],
         )
 
-    def rmul(u, r_cat):
+    def lmul(l2_lh, u):
+        l2, lh = l2_lh
         uh, ul = split_bf16(u)
-        return jnp.dot(
-            jnp.concatenate([uh, ul, uh], axis=1),
-            r_cat,
-            preferred_element_type=dtype,
-        )
+        m2 = jnp.dot(l2, uh, preferred_element_type=dtype)
+        corr = jnp.dot(lh, ul, preferred_element_type=dtype)
+        return m2[:H] + m2[H:] + corr
+
+    def rmul(u, r2_rh):
+        r2, rh = r2_rh
+        uh, ul = split_bf16(u)
+        m2 = jnp.dot(uh, r2, preferred_element_type=dtype)
+        corr = jnp.dot(ul, rh, preferred_element_type=dtype)
+        return m2[:, :W] + m2[:, W:] + corr
+
+    lfr, lfi = lf["fr"], lf["fi"]
+    rfr, rfi = rf["fr"], rf["fi"]
 
     def cfwd(ur, ui):
         lr = lmul(lfr, ur) - lmul(lfi, ui)

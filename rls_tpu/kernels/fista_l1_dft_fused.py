@@ -54,34 +54,39 @@ def _kernel(
     H, W = x0hat.shape
     f32 = x0hat.dtype
 
-    def lmul(l_cat, u):  # compensated left product with a stacked factor
-        uh, ul = _split(u)
-        return jnp.dot(
-            l_cat,
-            jnp.concatenate([uh, ul, uh], axis=0),
-            preferred_element_type=f32,
-        )
+    # concat-free compensation (see _fgp_common.make_gram_normal_noconcat):
+    # output-stacked [hi; lo] + hi-only factors derived once per grid step
+    lfr2 = (jnp.concatenate([lfr[:, :H], lfr[:, 2 * H :]], axis=0), lfr[:, :H])
+    lfi2 = (jnp.concatenate([lfi[:, :H], lfi[:, 2 * H :]], axis=0), lfi[:, :H])
+    rfr2 = (jnp.concatenate([rfr[:W], rfr[2 * W :]], axis=1), rfr[:W])
+    rfi2 = (jnp.concatenate([rfi[:W], rfi[2 * W :]], axis=1), rfi[:W])
 
-    def rmul(u, r_cat):  # compensated right product
+    def lmul(l2_lh, u):  # compensated left product
+        l2, lh = l2_lh
         uh, ul = _split(u)
-        return jnp.dot(
-            jnp.concatenate([uh, ul, uh], axis=1),
-            r_cat,
-            preferred_element_type=f32,
-        )
+        m2 = jnp.dot(l2, uh, preferred_element_type=f32)
+        corr = jnp.dot(lh, ul, preferred_element_type=f32)
+        return m2[:H] + m2[H:] + corr
+
+    def rmul(u, r2_rh):  # compensated right product
+        r2, rh = r2_rh
+        uh, ul = _split(u)
+        m2 = jnp.dot(uh, r2, preferred_element_type=f32)
+        corr = jnp.dot(ul, rh, preferred_element_type=f32)
+        return m2[:, :W] + m2[:, W:] + corr
 
     def normal(x):
         # forward: C = F x Fᵀ for REAL x (lr = Fr x, li = Fi x)
-        lr = lmul(lfr, x)
-        li = lmul(lfi, x)
-        cr = rmul(lr, rfr) - rmul(li, rfi)
-        ci = rmul(lr, rfi) + rmul(li, rfr)
+        lr = lmul(lfr2, x)
+        li = lmul(lfi2, x)
+        cr = rmul(lr, rfr2) - rmul(li, rfi2)
+        ci = rmul(lr, rfi2) + rmul(li, rfr2)
         cr = cr * mask
         ci = ci * mask
         # adjoint real part: Fᴴ C F̄ (F symmetric; see dft_real._cadj)
-        ar = lmul(lfr, cr) + lmul(lfi, ci)
-        ai = lmul(lfr, ci) - lmul(lfi, cr)
-        return rmul(ar, rfr) + rmul(ai, rfi)
+        ar = lmul(lfr2, cr) + lmul(lfi2, ci)
+        ai = lmul(lfr2, ci) - lmul(lfi2, cr)
+        return rmul(ar, rfr2) + rmul(ai, rfi2)
 
     def body(i, carry):
         x, x_prev = carry
