@@ -213,16 +213,22 @@ def _kernel_grouped(
     x0hat = x0_ref[...].reshape(G * H, W)
     f32 = x0hat.dtype
     b = pl.program_id(0)
-    # per-problem ρ/λ as (G·H, W) planes via an iota select ladder
-    gidx = lax.broadcasted_iota(jnp.int32, (G * H, W), 0) // H
-    rho = None
-    lam = None
-    for g_i in range(G):
-        sel = (gidx == g_i).astype(f32)
-        r_g = scal_ref[b * G + g_i, 0] * sel
-        l_g = scal_ref[b * G + g_i, 1] * sel
-        rho = r_g if rho is None else rho + r_g
-        lam = l_g if lam is None else lam + l_g
+    if G == 1:
+        # SMEM scalars — the (G·H, W) select planes below would cost two
+        # full planes of VMEM (what keeps 512² from fitting the budget)
+        rho = scal_ref[b, 0]
+        lam = scal_ref[b, 1]
+    else:
+        # per-problem ρ/λ as (G·H, W) planes via an iota select ladder
+        gidx = lax.broadcasted_iota(jnp.int32, (G * H, W), 0) // H
+        rho = None
+        lam = None
+        for g_i in range(G):
+            sel = (gidx == g_i).astype(f32)
+            r_g = scal_ref[b * G + g_i, 0] * sel
+            l_g = scal_ref[b * G + g_i, 1] * sel
+            rho = r_g if rho is None else rho + r_g
+            lam = l_g if lam is None else lam + l_g
 
     normal = make_sepconv_normal_stencil(
         taps[0], taps[1], H, W, f32, groups=G
