@@ -199,6 +199,10 @@ class TVRegularization(ParameterizedRegularization):
             and not is_complex
             and len(self.shape) == 2
             and tuple(sorted(self.dims)) == (0, 1)
+            # kernel live set ~7 planes (x, 4 duals, temps) must fit the
+            # 16 MiB scoped VMEM budget; larger images ride the XLA FGP,
+            # which tiles through HBM at any size
+            and 7 * self.shape[0] * self.shape[1] * 4 <= 14 * 1024 * 1024
         ):
             from ..kernels.tv_pallas import prox_tv2d_fgp_pallas
 
