@@ -2,8 +2,7 @@
 
 The row recurrence (reference Kaczmarz.jl:303-317, SIMD kernel :461-517) is
 inherently sequential — the `lax.scan` version dispatches one tiny XLA op
-sequence per row with x bouncing through HBM (and `lax.scan` is unavailable
-on restricted TPU runtimes altogether). Two kernels:
+sequence per row with x bouncing through HBM. Two kernels:
 
 * `kaczmarz_sweep_pallas` — ONE sweep with the whole dense real A
   VMEM-resident (~12 MB budget); the original small-system fast path.

@@ -180,8 +180,8 @@ def pcg(
 
     `unroll=True` replaces the `lax.while_loop` with a python-unrolled
     fixed-maxiter loop with MASKED updates (steps freeze once converged,
-    with a guarded denominator so frozen steps stay finite) — needed on
-    TPU runtimes without while_loop support and faster for small maxiter."""
+    with a guarded denominator so frozen steps stay finite) — faster for
+    small maxiter on TPU and required inside the unrolled solve drivers."""
     P = precon if precon is not None else (lambda v: v)
     r0 = b - matvec(x0)
     z0 = P(r0)

@@ -10,8 +10,11 @@ standard-form transform ``Â = A·diag(1/√λ)`` with solution rescale
 
 TPU mapping: the inherently sequential row recurrence runs as a `lax.scan`
 over the sweep's row indices with dynamically gathered rows — exact
-reference semantics. (A block-parallel Pallas variant is the planned fast
-path; the scan version is the correctness reference.)
+reference semantics (the correctness reference). The fast paths live in
+kernels/kaczmarz_pallas.py: a VMEM-resident per-sweep kernel
+(backend="pallas") and `solve_kaczmarz_streamed`, the whole multi-sweep
+solve with HBM-streamed row blocks (no matrix-size limit, split-real
+complex, precomputed randomized order).
 """
 
 from __future__ import annotations
