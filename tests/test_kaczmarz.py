@@ -315,3 +315,21 @@ def test_kaczmarz_streamed_real_A_complex_b(rng):
         iterations=3)
     with pytest.raises(ValueError, match="decouple"):
         solve_kaczmarz_streamed(s2, Bc, block_rows=8, interpret=True)
+
+
+def test_kaczmarz_streamed_vmem_gate(rng):
+    """Very tall systems whose u/vl/denom tiles exceed the VMEM budget are
+    rejected by the CHECK (so the auto dispatcher falls back to the
+    composed path instead of a Mosaic compile-time OOM)."""
+    from rls_tpu.kernels.kaczmarz_pallas import check_kaczmarz_streamed
+
+    m = 2_000_000  # 3 * m * 4B ≈ 24 MiB of per-problem tiles
+    s = rt.Kaczmarz.create(
+        rt.DenseOperator(jnp.asarray(np.zeros((8, 4), np.float32))),
+        reg=rt.L2Regularization(1e-3), iterations=2)
+    big = jnp.zeros((m, 4), jnp.float32)  # lazy zeros: no real allocation
+    from rls_tpu._pytree import replace as _replace
+
+    s_big = _replace(s, A=rt.DenseOperator(big))
+    with pytest.raises(ValueError, match="VMEM"):
+        check_kaczmarz_streamed(s_big)
