@@ -15,7 +15,12 @@ AᴴB and the banded Gram factors plus one write of the solution.
 Requirements (checked by the `solve_fista_tv_fused` wrapper):
   * operator: `SeparableConvOperator` (banded Gram factors, f32)
   * regularizer: 2-D `TVRegularization` over both axes
-  * no projections, no restart, fixed iteration count (no early exit)
+  * restart: "none" (any method, f64 momentum table) or "gradient"
+    (FISTA only: in-kernel θ recurrence + one restart dot per iteration,
+    reference FISTA.jl:171-176)
+  * fixed grid; convergence-based early exit (FISTA.jl:187-189 /
+    solve_batched done-masking) available as a per-problem freeze mask
+    via ``early_exit=True`` — converged problems pass through untouched
 Semantics mirror FISTA.step (fista.py) + prox_tv_fgp (prox.py), which in
 turn mirror /root/reference/src/FISTA.jl:139-185 and
 /root/reference/src/proximalMaps/ProxTV.jl:89-125.
@@ -117,6 +122,8 @@ def _kernel(
     tv_iterations: int,
     method: str,
     gram: str = "stacked",
+    restart: bool = False,
+    rel_tol: float | None = None,
 ):
     x0hat = x0_ref[0]
     b = pl.program_id(0)
@@ -143,9 +150,60 @@ def _kernel(
     def fgp(xg, lam_tv):
         return fgp_n(xg, lam_tv, tv_iterations)
 
-    out_ref[0] = _pgm_loop(
-        normal, fgp, tab_ref, rho, lam, x0hat, iterations, method
+    if restart or rel_tol is not None:
+        out_ref[0] = _fista_loop_dynamic(
+            normal, fgp, rho, lam, x0hat, iterations, restart, rel_tol
+        )
+    else:
+        out_ref[0] = _pgm_loop(
+            normal, fgp, tab_ref, rho, lam, x0hat, iterations, method
+        )
+
+
+def _fista_loop_dynamic(
+    normal, fgp, rho, lam, x0hat, iterations, restart, rel_tol, theta0=1.0
+):
+    """FISTA loop with a data-dependent momentum schedule: in-kernel f32 θ
+    recurrence, optional gradient-restart test (reference FISTA.jl:171-176:
+    Re⟨∇f(y), x_new − x_prev⟩ > 0 ⇒ θ ← 1) and optional per-problem
+    convergence freeze (FISTA.jl:187-189 / solve_batched done-masking:
+    once ‖res‖/‖x0hat‖ < rel_tol every later update is a no-op, so the
+    fixed grid returns exactly the early-exited iterate). `rho`/`lam`
+    must be per-problem scalars (the reductions are whole-plane)."""
+    f32 = x0hat.dtype
+    early = rel_tol is not None
+    norm_x0 = jnp.sqrt(jnp.sum(x0hat * x0hat)) if early else None
+
+    def body(i, carry):
+        x, m1, th_in, th_old, done = carry
+        a = (th_old - 1.0) / th_in
+        x_mom = x + a * (x - m1)
+        res = normal(x_mom) - x0hat
+        x_new = fgp(x_mom - rho * res, rho * lam)
+        th = th_in
+        if restart:
+            obtuse = jnp.sum(res * (x_new - x)) > 0.0
+            th = jnp.where(obtuse, jnp.asarray(1.0, f32), th)
+        th_old_new = th
+        th_new = (1.0 + jnp.sqrt(1.0 + 4.0 * th * th)) / 2.0
+        if early:
+            rel = jnp.sqrt(jnp.sum(res * res)) / norm_x0
+            keep = done  # freeze AFTER the step that detected convergence
+            done = jnp.maximum(done, (rel < rel_tol).astype(f32))
+            live = 1.0 - keep
+            x_out = x + live * (x_new - x)
+            m1_out = m1 + live * (x - m1)
+            th_old_new = th_old + live * (th_old_new - th_old)
+            th_new = th_in + live * (th_new - th_in)
+            return (x_out, m1_out, th_new, th_old_new, done)
+        return (x_new, x, th_new, th_old_new, done)
+
+    x_init = x0hat * 0.0
+    th_i = jnp.asarray(theta0, f32)
+    x, *_ = lax.fori_loop(
+        0, iterations, body, (x_init, x_init, th_i, th_i, jnp.asarray(0.0, f32))
     )
+    return x
 
 
 def _pgm_loop(normal, fgp, tab_ref, rho, lam, x0hat, iterations, method):
@@ -203,6 +261,8 @@ def _kernel_grouped(
     method: str,
     taps: tuple,
     group: int,
+    restart: bool = False,
+    rel_tol: float | None = None,
 ):
     """G problems per grid step, stacked along the row axis: every
     elementwise/roll op is G× larger, amortizing the per-op issue
@@ -238,7 +298,16 @@ def _kernel_grouped(
     def fgp(xg, lam_tv):
         return fgp_n(xg, lam_tv, tv_iterations)
 
-    x = _pgm_loop(normal, fgp, tab_ref, rho, lam, x0hat, iterations, method)
+    if restart or rel_tol is not None:
+        # whole-plane reductions: only valid per problem, i.e. G == 1
+        # (enforced by fista_tv_fused)
+        x = _fista_loop_dynamic(
+            normal, fgp, rho, lam, x0hat, iterations, restart, rel_tol
+        )
+    else:
+        x = _pgm_loop(
+            normal, fgp, tab_ref, rho, lam, x0hat, iterations, method
+        )
     out_ref[...] = x.reshape(G, H, W)
 
 
@@ -255,8 +324,16 @@ def fista_tv_fused(
     gram: str = "stacked",
     taps: tuple | None = None,
     group: int = 1,
+    restart: bool = False,
+    rel_tol: float | None = None,
 ):
     B, H, W = x0hat_b.shape
+    if (restart or rel_tol is not None) and method != "fista":
+        raise ValueError("restart/early-exit are FISTA-only in the fused path")
+    if (restart or rel_tol is not None) and group > 1:
+        raise ValueError(
+            "restart/early-exit need per-problem reductions; group must be 1"
+        )
     scal = jnp.stack(
         [
             jnp.broadcast_to(jnp.asarray(rho, jnp.float32).reshape(-1), (B,)),
@@ -284,6 +361,8 @@ def fista_tv_fused(
                 method=method,
                 taps=taps,
                 group=group,
+                restart=restart,
+                rel_tol=rel_tol,
             ),
             grid=(B // group,),
             in_specs=[
@@ -307,6 +386,8 @@ def fista_tv_fused(
             tv_iterations=tv_iterations,
             method=method,
             gram=gram,
+            restart=restart,
+            rel_tol=rel_tol,
         ),
         grid=(B,),
         in_specs=[
@@ -378,8 +459,14 @@ def check_pgm_tv_fused(solver):
         raise ValueError("fused path requires 2-D TV over both axes")
     if solver.proj:
         raise ValueError("fused path does not support projection terms")
-    if getattr(solver, "restart", "none") != "none":
-        raise ValueError("fused path does not support restart")
+    solver_restart = getattr(solver, "restart", "none")
+    if solver_restart not in ("none", "gradient"):
+        raise ValueError(f"fused path does not support restart={solver_restart!r}")
+    if solver_restart == "gradient" and method != "fista":
+        raise ValueError(
+            "fused gradient restart is implemented for FISTA only "
+            "(reference FISTA.jl:171-176); use the composed path"
+        )
     theta0 = getattr(solver, "theta", 1.0)
     if isinstance(theta0, jax.core.Tracer):
         # the momentum table is built host-side from theta — a traced theta
@@ -416,16 +503,29 @@ def _check_vmem_pgm_tv(H, W, gram: str = "stacked"):
         )
 
 
-def solve_pgm_tv_fused(solver, B_mat, interpret: bool | None = None):
+def solve_pgm_tv_fused(
+    solver, B_mat, interpret: bool | None = None, early_exit: bool = False
+):
     """Drop-in fast path for `solve_batched_unrolled(solver, B)` when the
     solver is FISTA / OptISTA / POGM + SeparableConvOperator + 2-D TV (the
     flagship bench shape). Returns the n×K solution matrix like the
-    composed driver.
+    composed driver. ``solver.restart == "gradient"`` rides the in-kernel
+    restart loop (FISTA only). With ``early_exit=True`` (and a concrete
+    ``solver.rel_tol > 0``) converged problems freeze in-kernel — the
+    `solve_batched` done-masking semantics on the fixed grid.
 
     Assumptions are *checked*, not silently ignored — callers get a
     ValueError naming the unsupported piece.
     """
     method = check_pgm_tv_fused(solver)
+    restart = getattr(solver, "restart", "none") == "gradient"
+    rel_tol = None
+    if early_exit:
+        if method != "fista":
+            raise ValueError("early_exit is FISTA-only in the fused path")
+        if solver.rel_tol is None or isinstance(solver.rel_tol, jax.core.Tracer):
+            raise ValueError("early_exit needs a concrete solver.rel_tol")
+        rel_tol = float(solver.rel_tol)
     op = solver.AHA.A
     reg = solver.reg
     H, W = op.im_shape
@@ -457,5 +557,7 @@ def solve_pgm_tv_fused(solver, B_mat, interpret: bool | None = None):
         interpret=interpret,
         method=method,
         gram=gram,
+        restart=restart,
+        rel_tol=rel_tol,
     )
     return out.reshape(out.shape[0], H * W).T
