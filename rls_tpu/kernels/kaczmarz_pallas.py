@@ -366,6 +366,38 @@ def check_kaczmarz_streamed(solver):
             f"streamed Kaczmarz working set ~{vmem_bytes/2**20:.0f} MiB "
             "exceeds VMEM; use the scan path"
         )
+    # SMEM index-table gate: the kernel ships the whole visit-order table
+    # as one SMEM input — (T, S_pad) int32 for randomized, (1, m) for
+    # cyclic/shuffled. TPU scalar memory is MiB-scale at most; the 64 MiB
+    # bench config's (1, 65536) table (256 KiB) compiles on chip, so the
+    # budget is set at 1 MiB — gate here so the auto dispatcher falls
+    # back instead of a Mosaic scalar-memory OOM.
+    ncomp_b = ncomp
+    if solver.randomized and solver.precomputed_order is not None:
+        T_i, S_i = solver.precomputed_order.shape
+    else:
+        T_i, S_i = 1, m
+    bm_i = pick_block_rows(S_i, n, ncomp_b)
+    s_pad = S_i + ((-S_i) % min(bm_i, S_i))
+    table_bytes = T_i * s_pad * 4
+    if table_bytes > 1024 * 1024:
+        raise ValueError(
+            f"streamed Kaczmarz index table {T_i}x{s_pad} int32 "
+            f"(~{table_bytes/2**10:.0f} KiB) exceeds the 1 MiB SMEM "
+            "budget; reduce sweeps x sub-matrix size or use the scan path"
+        )
+    # HBM gather-amplification gate: randomized mode pre-gathers the
+    # visited rows for EVERY sweep contiguously — T·S rows in HBM, a T×
+    # amplification of (the visited share of) A. Budget 2 GiB.
+    rows_bytes = T_i * s_pad * ncomp_b * n * 4
+    if not solver.randomized:
+        rows_bytes = s_pad * ncomp_b * n * 4  # single reused copy
+    if rows_bytes > 2 * 1024**3:
+        raise ValueError(
+            f"streamed Kaczmarz pre-gathered rows ~{rows_bytes/2**30:.1f} "
+            "GiB (T-sweep x S-row gather) exceed the 2 GiB HBM budget; "
+            "reduce sweeps or use the scan path"
+        )
     if any(isinstance(r, PositiveRegularization) for r in solver.reg):
         return "positive"
     if any(isinstance(r, RealRegularization) for r in solver.reg):

@@ -135,13 +135,17 @@ def kaczmarz_row_update(A, x, dual, j, rhs, denom_j, eps_w_j):
         α      = denom_j (rhs − τ − εw_j · dual_j)
         x     += α · conj(a_j)
         dual_j += α · εw_j
+
+    Routed through the operator's `row_dot`/`row_axpy` so sparse
+    operators (PaddedCSROperator) pay O(nnz_row) per update instead of a
+    dense O(n·nnz) masked gather (reference CSC specializations,
+    Utils.jl:96-105, Kaczmarz.jl:532-539).
     """
-    row = A.row(j)
-    tau = jnp.sum(row * x)
+    tau = A.row_dot(j, x)
     alpha = denom_j.astype(x.dtype) * (
         rhs - tau - eps_w_j.astype(x.dtype) * dual[j]
     )
-    x = x + alpha * jnp.conj(row)
+    x = A.row_axpy(x, j, alpha)
     dual = dual.at[j].add(alpha * eps_w_j.astype(x.dtype))
     return x, dual
 

@@ -359,7 +359,7 @@ class Kaczmarz(LinearSolver):
             row = jax.random.choice(key_j, r.shape[0], p=p).astype(jnp.int32)
 
             alpha = denom[row].astype(x.dtype) * r[row]
-            x = x + alpha * jnp.conj(self.A.row(row))
+            x = self.A.row_axpy(x, row, alpha)
             vl = vl.at[row].add(alpha * state.eps_w)
             r = r - r[row] * self.greedy_B[:, row]
             return (x, vl, r), None

@@ -16,7 +16,7 @@ from .function_op import FunctionOperator
 from .fourier import ConvolutionOperator, FFTOperator, SubsampledFFTOperator
 from .grad import Grad8Operator, GradientOperator
 from .radon import RadonOperator
-from .sparse import SparseOperator
+from .sparse import PaddedCSROperator, SparseOperator
 
 __all__ = [
     "LinearOperator",
@@ -27,6 +27,7 @@ __all__ = [
     "NormalOperator",
     "StackedOperator",
     "SamplingOperator",
+    "PaddedCSROperator",
     "SparseOperator",
     "GradientOperator",
     "Grad8Operator",

@@ -80,6 +80,19 @@ class LinearOperator:
         """Vector of squared 2-norms of the rows (reference: rownorm²)."""
         raise NotImplementedError(f"{type(self).__name__} has no row access")
 
+    def row_dot(self, i, x):
+        """τ = a_i · x, UNconjugated (reference ``dot_with_matrix_row``,
+        /root/reference/src/Utils.jl:96-105). Default goes through the
+        dense ``row``; sparse operators override with an O(nnz_row)
+        gather."""
+        return jnp.sum(self.row(i) * x)
+
+    def row_axpy(self, x, i, alpha):
+        """x + α·conj(a_i) (reference ``kaczmarz_update!``,
+        /root/reference/src/Kaczmarz.jl:532-539). Default dense axpy;
+        sparse operators override with an O(nnz_row) scatter-add."""
+        return x + alpha * jnp.conj(self.row(i))
+
     def to_dense(self):
         """Materialize as a dense matrix (small operators / direct solvers)."""
         eye = jnp.eye(self.in_size, dtype=self.dtype)
