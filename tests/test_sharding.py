@@ -111,3 +111,39 @@ def test_fused_admm_tv_sharded(rng):
     )
     want = np.asarray(solve_admm_tv_fused(solver, B, interpret=True))
     np.testing.assert_allclose(got, want, rtol=0, atol=5e-6)
+
+
+def test_batch_sharded_hlo_has_no_allgather(rng):
+    """Collective audit (VERDICT r2 item 7): the batch-sharded solve is
+    embarrassingly parallel over problems — the compiled SPMD program must
+    contain NO all-gather (only the loop-condition all-reduce over the
+    per-problem active flags). An all-gather would mean GSPMD decided to
+    replicate per-problem state."""
+    mesh = make_mesh(axis_names=("batch",))
+    K = len(jax.devices()) * 2
+    A = jnp.asarray(rng.normal(size=(12, 8)).astype(np.float32))
+    B = A @ jnp.asarray(rng.normal(size=(8, K)).astype(np.float32))
+    s = rt.FISTA.create(A, reg=rt.L1Regularization(1e-4), iterations=10)
+    Bs = shard_batch(B, mesh, "batch")
+    compiled = jax.jit(solve_batched).lower(s, Bs).compile()
+    hlo = compiled.as_text()
+    assert "all-gather" not in hlo, "batch-sharded solve emitted all-gather"
+    assert "all-reduce" in hlo  # the any(active) loop condition
+
+
+def test_row_sharded_hlo_psum_no_allgather(rng):
+    """Row-sharded CGNR: the normal-op contraction must reduce with
+    all-reduce/reduce-scatter (psum of partial AᴴAx), never all-gather
+    the row-sharded operand."""
+    mesh = make_mesh(axis_names=("rows",))
+    m = len(jax.devices()) * 8
+    mat = rng.normal(size=(m, 16)).astype(np.float32)
+    b = jnp.asarray(mat @ rng.normal(size=(16,)).astype(np.float32))
+    op = row_sharded_operator(mat, mesh, axis="rows")
+    s = rt.CGNR.create(op, reg=rt.L2Regularization(1e-6), iterations=20)
+    b_sh = jax.device_put(
+        b, jax.NamedSharding(mesh, jax.sharding.PartitionSpec("rows"))
+    )
+    hlo = jax.jit(rt.solve).lower(s, b_sh).compile().as_text()
+    assert "all-reduce" in hlo
+    assert "all-gather" not in hlo, "row-sharded solve gathered A or y"

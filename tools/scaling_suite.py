@@ -1,0 +1,127 @@
+"""Virtual-mesh scaling artifact (VERDICT r2 item 7; BASELINE scaling metric).
+
+Real multi-chip hardware is not reachable from this environment, so this
+suite measures the two mesh-parallel paths on 1/2/4/8 VIRTUAL CPU devices
+(`--xla_force_host_platform_device_count`) and writes SCALING_r03.json:
+
+  * batch-sharded FISTA-TV (`solve_batched_sharded`) — problems over the
+    "batch" axis; the only collective is the while-loop `any(active)`
+    all-reduce;
+  * row-sharded CGNR (`row_sharded_operator` + `solve`) — rows of A over
+    the "rows" axis; every normal-op matvec psums partial AᴴAx over ICI.
+
+CAVEAT (recorded in the artifact): virtual devices SHARE the same host
+cores, so wall-clock does not improve with device count — the point of
+the artifact is that the SPMD programs compile, execute, and keep their
+collective structure at every mesh size, with per-size timings recorded
+honestly. The companion HLO audit test
+(tests/test_sharding.py::test_batch_sharded_hlo_has_no_allgather)
+asserts the batch-sharded program contains no all-gather.
+
+Usage: python tools/scaling_suite.py
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import rls_tpu as rt
+    from rls_tpu.parallel import (
+        make_mesh,
+        row_sharded_operator,
+        solve_batched_sharded,
+    )
+
+    rng = np.random.default_rng(0)
+    report = {
+        "platform": "cpu-virtual-mesh",
+        "caveat": "virtual devices share host cores; timings validate SPMD "
+        "structure, not hardware speedup",
+        "fista_tv_batch_sharded": {},
+        "cgnr_row_sharded": {},
+    }
+
+    # ---- batch-sharded FISTA-TV ------------------------------------------
+    n, K, iters = 64, 16, 10
+    g = np.exp(-((np.arange(7) - 3) ** 2) / 4.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=5, unroll=True)
+    solver = rt.FISTA.create(op, reg=reg, iterations=iters, rho=0.9,
+                             rel_tol=0.0, track_residual=False)
+    X = jnp.asarray(rng.normal(size=(K, n * n)), jnp.float32)
+    B = jax.vmap(op.mv)(X).T
+
+    for nd in (1, 2, 4, 8):
+        mesh = make_mesh(devices=jax.devices()[:nd])
+        out = solve_batched_sharded(solver, B, mesh)  # warm / compile
+        np.asarray(out)
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            out = solve_batched_sharded(solver, B, mesh)
+        np.asarray(out)
+        dt = (time.perf_counter() - t0) / reps
+        report["fista_tv_batch_sharded"][str(nd)] = {
+            "problems_per_s": round(K / dt, 2),
+            "wall_s": round(dt, 4),
+        }
+        print(f"fista_tv batch-sharded {nd}d: {K/dt:.1f} problems/s",
+              file=sys.stderr)
+
+    # ---- row-sharded CGNR -------------------------------------------------
+    m_rows, n_cols = 4096, 512
+    A = rng.normal(size=(m_rows, n_cols)).astype(np.float32) / np.sqrt(n_cols)
+    xt = rng.normal(size=(n_cols,)).astype(np.float32)
+    b_np = A @ xt
+
+    for nd in (1, 2, 4, 8):
+        mesh = make_mesh(devices=jax.devices()[:nd], axis_names=("rows",))
+        with jax.sharding.use_mesh(mesh):
+            op_r = row_sharded_operator(A, mesh)
+            s = rt.CGNR.create(op_r, reg=rt.L2Regularization(1e-6),
+                               iterations=30)
+            b = jax.device_put(
+                jnp.asarray(b_np),
+                jax.NamedSharding(mesh, jax.sharding.PartitionSpec("rows")),
+            )
+            fn = jax.jit(lambda bb: rt.solve(s, bb))
+            np.asarray(fn(b))  # warm / compile
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                out = fn(b)
+            np.asarray(out)
+            dt = (time.perf_counter() - t0) / reps
+        report["cgnr_row_sharded"][str(nd)] = {
+            "solves_per_s": round(1.0 / dt, 2),
+            "wall_s": round(dt, 4),
+        }
+        print(f"cgnr row-sharded {nd}d: {1/dt:.1f} solves/s", file=sys.stderr)
+
+    out_path = os.path.join(REPO, "SCALING_r03.json")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+    print(f"wrote {out_path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
