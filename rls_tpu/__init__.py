@@ -5,7 +5,7 @@ RegularizedLeastSquares.jl (reference mounted read-only at /root/reference).
 """
 
 from . import ops, utils
-from .models import prox, regularization
+from .models import denoisers, prox, regularization
 from .models.prox import (
     L1Regularization,
     L2Regularization,
@@ -86,6 +86,7 @@ from .ops import (
     IdentityOperator,
     NormalOperator,
     ProdOperator,
+    PaddedCSROperator,
     SparseOperator,
     StackedOperator,
     SubsampledFFTOperator,

@@ -25,6 +25,7 @@ from __future__ import annotations
 import warnings
 from typing import Any, Callable, Optional
 
+import jax
 import jax.numpy as jnp
 
 from .._pytree import pytree_dataclass, static_field
@@ -423,6 +424,21 @@ class PlugAndPlayRegularization(ParameterizedRegularization):
     def __post_init__(self):
         if self.shape is not None:
             object.__setattr__(self, "shape", tuple(self.shape))
+        # reference warns when λ is clipped to [0,1]
+        # (PlugAndPlayRegularization.jl:47-51); the traced prox clamp below
+        # cannot warn under jit, so mirror the warning eagerly for concrete λ
+        lam = self.lam
+        if not isinstance(lam, jax.core.Tracer):
+            try:
+                bad = bool((jnp.asarray(lam) < 0).any() | (jnp.asarray(lam) > 1).any())
+            except (TypeError, jax.errors.TracerBoolConversionError):
+                bad = False
+            if bad:
+                warnings.warn(
+                    "PlugAndPlayRegularization λ is clipped to the [0, 1] "
+                    "interval at prox time",
+                    stacklevel=2,
+                )
 
     def _prox_real(self, x, lam):
         lam = jnp.clip(lam, 0.0, 1.0)
