@@ -3,6 +3,7 @@ from .admm_tv_fused import admm_tv_fused, solve_admm_tv_fused
 from .fista_l1_dft_fused import fista_l1_dft_fused, solve_fista_l1_dft_fused
 from .sense_fused import fista_l21_sense_fused, solve_fista_l21_sense_fused
 from .fista_tv_fused import fista_tv_fused, solve_fista_tv_fused, solve_pgm_tv_fused
+from .fista_tv_tiled import fista_tv_tiled, solve_fista_tv_tiled
 from .kaczmarz_pallas import (
     kaczmarz_solve_pallas,
     kaczmarz_sweep_pallas,
@@ -29,6 +30,8 @@ __all__ = [
     "prox_tv2d_fgp_pallas",
     "kaczmarz_sweep_pallas",
     "fista_tv_fused",
+    "fista_tv_tiled",
     "solve_fista_tv_fused",
+    "solve_fista_tv_tiled",
     "solve_pgm_tv_fused",
 ]

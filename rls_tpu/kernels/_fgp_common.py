@@ -29,9 +29,11 @@ from ..ops._precise import split_bf16
 
 __all__ = [
     "make_tv_fgp",
+    "make_tv_fgp_window",
     "make_gram_normal",
     "make_gram_normal_noconcat",
     "make_sepconv_normal_stencil",
+    "make_sepconv_normal_stencil_window",
     "make_split_dft",
     "make_sense_normal",
     "rne_bf16_f32",
@@ -250,6 +252,112 @@ def make_sepconv_normal_stencil(
         return v
 
     return normal
+
+
+def make_sepconv_normal_stencil_window(
+    taps_h, taps_w, H: int, W: int, n_rows: int, row0, dtype
+):
+    """Window variant of `make_sepconv_normal_stencil` for row-tiled
+    kernels: operates on an (n_rows, W) scratch window whose row j holds
+    GLOBAL image row ``row0 + j`` (row0 may be a traced scalar, negative
+    for the top tile's halo). The zero-padding masks use global row
+    indices, so image boundaries land exactly; rows outside the image and
+    the window's wraparound edges produce garbage only within the
+    dependence cone of the window edge — callers must keep a halo ≥ the
+    total cone (2·(k_h//2) per column pass pair + the consumer's cone).
+    """
+    import numpy as np
+
+    th = [float(t) for t in np.asarray(taps_h).ravel()]
+    tw = [float(t) for t in np.asarray(taps_w).ravel()]
+    g = lax.broadcasted_iota(jnp.int32, (n_rows, W), 0) + row0
+    col = lax.broadcasted_iota(jnp.int32, (n_rows, W), 1)
+
+    def shifted(u, s, axis):
+        if s == 0:
+            return u
+        if axis == 0:
+            r = pltpu.roll(u, (-s) % n_rows, 0)
+            mask = ((g + s >= 0) & (g + s < H)).astype(dtype)
+        else:
+            r = pltpu.roll(u, (-s) % W, 1)
+            mask = ((col + s >= 0) & (col + s < W)).astype(dtype)
+        return r * mask
+
+    def _pass(u, taps, axis, adjoint):
+        r = len(taps) // 2
+        acc = None
+        for k, t in enumerate(taps):
+            s = k - r
+            if adjoint:
+                s = -s
+            term = t * shifted(u, s, axis)
+            acc = term if acc is None else acc + term
+        return acc
+
+    def normal(u):
+        v = _pass(u, th, 0, adjoint=False)
+        v = _pass(v, th, 0, adjoint=True)
+        v = _pass(v, tw, 1, adjoint=False)
+        v = _pass(v, tw, 1, adjoint=True)
+        return v
+
+    return normal
+
+
+def make_tv_fgp_window(H: int, W: int, n_rows: int, row0, dtype):
+    """Window variant of `make_tv_fgp` for row-tiled kernels (see
+    `make_sepconv_normal_stencil_window` for the window convention).
+
+    The dual clamp re-zeroes every INVALID global row each iteration —
+    rows outside the image stay exactly zero, so the image-row dual
+    dynamics equal the full-image kernel's within the dependence cone
+    (±1 dual row per FGP iteration + 1 for the final adjoint ⇒ cone =
+    iterations + 1)."""
+    g = lax.broadcasted_iota(jnp.int32, (n_rows, W), 0) + row0
+    col = lax.broadcasted_iota(jnp.int32, (n_rows, W), 1)
+    vmask = ((g >= 0) & (g < H - 1)).astype(dtype)
+    hmask = (((g >= 0) & (g < H)) & (col < W - 1)).astype(dtype)
+
+    def gv(u):
+        return pltpu.roll(u, n_rows - 1, 0) - u
+
+    def gh(u):
+        return pltpu.roll(u, W - 1, 1) - u
+
+    def gt(pv, ph):
+        tv = pltpu.roll(pv, 1, 0) - pv
+        th = pltpu.roll(ph, 1, 1) - ph
+        return tv + th
+
+    zeros = jnp.zeros((n_rows, W), dtype)
+
+    def fgp(xg, lam_tv, iterations: int):
+        lam_safe = jnp.where(lam_tv > 0, lam_tv, 1.0)
+        inv8 = 1.0 / (8.0 * lam_safe)
+
+        def body(_, carry):
+            pv, ph, rv, rh, t = carry
+            xtmp = xg - lam_tv * gt(rv, rh)
+            qv = rv + gv(xtmp) * inv8
+            qh = rh + gh(xtmp) * inv8
+            qv = jnp.clip(qv, -1.0, 1.0) * vmask
+            qh = jnp.clip(qh, -1.0, 1.0) * hmask
+            t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) / 2.0
+            t2 = (t - 1.0) / t_new
+            rv_new = (1.0 + t2) * qv - t2 * pv
+            rh_new = (1.0 + t2) * qh - t2 * ph
+            return (qv, qh, rv_new, rh_new, t_new)
+
+        pv, ph, _, _, _ = lax.fori_loop(
+            0,
+            iterations,
+            body,
+            (zeros, zeros, zeros, zeros, jnp.asarray(1.0, dtype)),
+        )
+        return xg - lam_tv * gt(pv, ph)
+
+    return gt, fgp
 
 
 def make_tv_fgp(H: int, W: int, dtype, groups: int = 1):

@@ -26,6 +26,7 @@ from .fista_l1_dft_fused import (
 from .kaczmarz_pallas import check_kaczmarz_streamed, solve_kaczmarz_streamed
 from .sense_fused import check_fista_l21_sense_fused, solve_fista_l21_sense_fused
 from .fista_tv_fused import check_pgm_tv_fused, solve_pgm_tv_fused
+from .fista_tv_tiled import check_fista_tv_tiled, solve_fista_tv_tiled
 from .splitbregman_fused import (
     check_splitbregman_l1_tv_fused,
     solve_splitbregman_l1_tv_fused,
@@ -35,6 +36,8 @@ __all__ = ["solve_batched_fast"]
 
 _FUSED_WRAPPERS = (
     ("pgm_tv", check_pgm_tv_fused, solve_pgm_tv_fused),
+    # beyond the monolithic kernel's VMEM ceiling: row-tiled streaming
+    ("fista_tv_tiled", check_fista_tv_tiled, solve_fista_tv_tiled),
     ("admm_tv", check_admm_tv_fused, solve_admm_tv_fused),
     ("splitbregman_l1_tv", check_splitbregman_l1_tv_fused,
      solve_splitbregman_l1_tv_fused),

@@ -503,3 +503,115 @@ def test_sepconv_stencil_normal_exact(rng):
         kern, out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
         interpret=True)(u))
     assert np.linalg.norm(got - truth) / np.linalg.norm(truth) < 1e-6
+
+
+def _small_deblur(rng, n=24, batch=3, rho=0.9, g=None, **solver_kw):
+    if g is None:
+        g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=5, unroll=True)
+    solver = rt.FISTA.create(op, reg=reg, rho=rho, **solver_kw)
+    X = jnp.asarray(rng.normal(size=(batch, n * n)), jnp.float32)
+    B = jax.vmap(op.mv)(X).T
+    return solver, B
+
+
+def test_fista_tv_fused_gradient_restart_matches_composed(rng):
+    """restart="gradient" rides the in-kernel θ recurrence + restart dot
+    (reference FISTA.jl:171-176) and must reproduce the composed unrolled
+    trajectory. Mild 3-tap kernel (Gram spectrum ≳ 0.4): momentum
+    overshoots near convergence within ~5 iterations, so the restart
+    provably FIRES (verified below)."""
+    from rls_tpu.kernels import solve_pgm_tv_fused
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    mild = np.array([0.1, 1.0, 0.1])
+    solver, B = _small_deblur(
+        rng, rho=0.95, g=mild, iterations=12, rel_tol=0.0,
+        track_residual=False, restart="gradient",
+    )
+    want = np.asarray(jax.jit(solve_batched_unrolled)(solver, B))
+    got = np.asarray(solve_pgm_tv_fused(solver, B))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+    # the restart must actually fire on this problem: the no-restart
+    # schedule gives a visibly different answer
+    base = rt.FISTA.create(
+        solver.AHA.A, reg=solver.reg, iterations=12, rho=0.95, rel_tol=0.0,
+        track_residual=False,
+    )
+    plain = np.asarray(solve_pgm_tv_fused(base, B))
+    assert np.abs(plain - got).max() > 1e-5
+
+
+def test_fista_tv_fused_early_exit_matches_solve_batched(rng):
+    """early_exit=True freezes converged problems in-kernel — matching
+    solve_batched's done-masked while loop (FISTA.jl:187-189 early exit)."""
+    from rls_tpu.kernels import solve_pgm_tv_fused
+    from rls_tpu.models.solvers import solve_batched
+
+    solver, B = _small_deblur(
+        rng, iterations=15, rel_tol=0.35, track_residual=True
+    )
+    want = np.asarray(jax.jit(solve_batched)(solver, B))
+    got = np.asarray(solve_pgm_tv_fused(solver, B, early_exit=True))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+    # ... and without the mask the fused path runs all iterations
+    full = np.asarray(solve_pgm_tv_fused(solver, B))
+    assert np.abs(full - got).max() > 1e-6
+
+
+def test_fused_restart_rejects_non_fista(rng):
+    from rls_tpu.kernels import solve_pgm_tv_fused
+
+    n = 16
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g) / np.outer(g, g).sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=3, unroll=True)
+    s = rt.create_linear_solver(
+        "POGM", op, reg=reg, iterations=3, rho=0.9, restart="gradient",
+        kwarg_warning=False,
+    )
+    with pytest.raises(ValueError, match="restart"):
+        solve_pgm_tv_fused(s, jnp.zeros((n * n, 2), jnp.float32))
+
+
+def test_fista_tv_tiled_matches_composed(rng):
+    """The row-tiled beyond-VMEM kernel must EXACTLY reproduce the
+    composed unrolled path (tiling streams exact iterates through HBM —
+    halo recompute, not approximation). Small size so interpret mode
+    stays fast; tile_rows forces ≥3 tiles so clamped top/middle/bottom
+    windows all execute."""
+    from rls_tpu.kernels import solve_fista_tv_tiled
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    n, batch = 48, 2
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=3, unroll=True)
+    solver = rt.FISTA.create(
+        op, reg=reg, iterations=6, rho=0.9, rel_tol=0.0, track_residual=False
+    )
+    X = jnp.asarray(rng.normal(size=(batch, n * n)), jnp.float32)
+    B = jax.vmap(op.mv)(X).T
+    want = np.asarray(jax.jit(solve_batched_unrolled)(solver, B))
+    got = np.asarray(solve_fista_tv_tiled(solver, B, tile_rows=16))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+
+def test_fista_tv_tiled_rejects_unsupported(rng):
+    from rls_tpu.kernels import solve_fista_tv_tiled
+
+    n = 48
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g) / np.outer(g, g).sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=3, unroll=True)
+    s = rt.FISTA.create(op, reg=reg, iterations=3, rho=0.9,
+                        restart="gradient")
+    with pytest.raises(ValueError, match="restart"):
+        solve_fista_tv_tiled(s, jnp.zeros((n * n, 1), jnp.float32))
