@@ -104,17 +104,20 @@ def main():
     # timing protocol (see .claude/skills/verify/SKILL.md): dispatch reps
     # back-to-back and materialize once — the device queue serializes, so
     # the final np.asarray waits for all compute; block_until_ready does
-    # not reliably block through the tunneled runtime. Take the best of 5
-    # windows of 4 reps to shed tunnel/scheduling noise.
+    # not reliably block through the tunneled runtime. Take the best of 8
+    # windows of 4 reps to shed tunnel/scheduling noise — and RECORD every
+    # window (VERDICT r2: the shared chip shows 2-3x window variance, so
+    # the spread must be part of the artifact, not just the best).
     reps = 4
-    best = float("inf")
-    for _ in range(5):
+    windows = []
+    for _ in range(8):
         t0 = time.perf_counter()
         for _ in range(reps):
             out = solve_fn(B)
         np.asarray(out)
-        best = min(best, (time.perf_counter() - t0) / reps)
-    dt = best
+        windows.append((time.perf_counter() - t0) / reps)
+    dt = min(windows)
+    windows_pps = [round(BATCH / w, 1) for w in windows]
 
     # sanity: reconstruction should beat the blurred input
     err = np.linalg.norm(res.T - np.asarray(xs_true)) / np.linalg.norm(
@@ -124,34 +127,92 @@ def main():
     problems_per_s = BATCH / dt
     target_per_chip = 100.0 / 8.0  # v5e-8 target prorated to one chip
 
-    # ---- FLOP / MFU accounting (VERDICT r1 item 4) -----------------------
+    # ---- FLOP / roofline accounting (VERDICT r1 item 4 / r2 item 1) ------
     # Executed FLOPs per problem inside the fused kernel:
     #  * MXU: the compensated Gram sandwich is two (N,3N)x(3N,N) matmuls
     #    per iteration -> 2 * 2*N*3N*N = 12 N^3 MACs... counted as
     #    2*(2*N*(3N)*N) flops.
     #  * VPU: TV-FGP dual loop ~27 elementwise ops per pixel per dual
     #    iteration (gradients, clamp, momentum) + ~10/pixel FISTA chain.
+    tv_it = 10
     mxu_flops = ITERS * 2 * (2 * N * (3 * N) * N)
-    vpu_flops = ITERS * ((10 * 27 + 10) * N * N)  # iterations_tv = 10
+    vpu_flops = ITERS * ((tv_it * 27 + 10) * N * N)
     achieved_tflops = (mxu_flops + vpu_flops) * problems_per_s / 1e12
-    # 197 TFLOP/s bf16 per v5e chip; problems_per_s counts ALL chips, so
-    # normalize by n_dev. The kernel is VPU/latency-bound — MFU vs the MXU
-    # peak is the honest "how far from speed-of-light"
-    mfu = (mxu_flops * problems_per_s / 1e12) / (197.0 * n_dev)
-    print(
-        json.dumps(
-            {
-                "metric": "fista_tv_256_batched_deblur_throughput_1chip",
-                "value": round(problems_per_s, 3),
-                "unit": "problems/s",
-                "vs_baseline": round(problems_per_s / target_per_chip, 3),
-                "recon_rel_err": round(float(err), 4),
-                "gflop_per_problem": round((mxu_flops + vpu_flops) / 1e9, 2),
-                "achieved_tflops": round(achieved_tflops, 2),
-                "mfu_vs_bf16_peak": round(mfu, 4),
-            }
+    # peaks per v5e chip: 197 TFLOP/s bf16 MXU; VPU f32 ~ 4 TFLOP/s
+    # ((8,128) vector unit, ~4 FMA-lanes/cycle at ~0.94 GHz — vendor
+    # figure is not public, this is the standard estimate). The kernel is
+    # VPU/VMEM-bound, so MFU vs the VPU peak is the honest
+    # "how far from speed-of-light"; the MXU number is kept for scale.
+    vpu_peak_tflops = 4.0
+    mfu_mxu = (mxu_flops * problems_per_s / 1e12) / (197.0 * n_dev)
+    mfu_vpu = (vpu_flops * problems_per_s / 1e12) / (vpu_peak_tflops * n_dev)
+    # bytes moved, per problem:
+    #  * HBM: one x0hat read + one solution write + the batch-amortized
+    #    Gram factor blocks -> the kernel is nowhere near HBM-bound.
+    #  * VMEM: every FGP dual iteration touches ~12 (N,N) f32 planes
+    #    (4 dual fields r/w + xtmp/gt chain), the stencil/matmul Gram ~8,
+    #    the FISTA chain ~6 -> per-iteration plane traffic x 4 bytes.
+    hbm_bytes = (2 * N * N + (2 * 3 * N * N) / BATCH) * 4
+    vmem_bytes = ITERS * (tv_it * 12 + 8 + 6) * N * N * 4
+    hbm_gbps = hbm_bytes * problems_per_s / 1e9
+    vmem_gbps = vmem_bytes * problems_per_s / 1e9
+    # ---- reference parity (BASELINE "residual match to 1e-4") ------------
+    # f64 composed-path solutions for the first columns of THIS seeded
+    # problem, precomputed by tools/gen_bench_ref.py (x64 cannot coexist
+    # with the chip's f32 process)
+    parity = parity_res = None
+    ref_path = __file__.replace("bench.py", "bench_ref_f64.npz")
+    try:
+        ref = np.load(ref_path)
+        x64 = ref["x64"].astype(np.float64)
+        b64 = ref["b64"]
+        r64 = ref["r64"]
+        n_ref = int(ref["n_ref"])
+        xc = np.asarray(out)[:, :n_ref].astype(np.float64)
+        parity = float(
+            max(
+                np.linalg.norm(xc[:, j] - x64[:, j]) / np.linalg.norm(x64[:, j])
+                for j in range(n_ref)
+            )
         )
-    )
+        # residual match (the BASELINE metric): f64 convolve of the chip
+        # solution vs the f64 reference residual, relative to ‖b‖
+        from scipy.signal import convolve2d
+
+        k = 9
+        axk = np.arange(k) - k // 2
+        gk = np.exp(-(axk**2) / (2 * 2.0**2))
+        kern2 = np.outer(gk, gk)
+        kern2 /= kern2.sum()
+        diffs = []
+        for j in range(n_ref):
+            y = convolve2d(
+                xc[:, j].reshape(N, N), kern2, mode="same", boundary="fill"
+            ).ravel()
+            rc = np.linalg.norm(y - b64[:, j])
+            diffs.append(abs(rc - r64[j]) / np.linalg.norm(b64[:, j]))
+        parity_res = float(max(diffs))
+    except OSError:
+        pass
+    rec = {
+        "metric": "fista_tv_256_batched_deblur_throughput_1chip",
+        "value": round(problems_per_s, 3),
+        "unit": "problems/s",
+        "vs_baseline": round(problems_per_s / target_per_chip, 3),
+        "recon_rel_err": round(float(err), 4),
+        "windows_problems_per_s": windows_pps,
+        "gflop_per_problem": round((mxu_flops + vpu_flops) / 1e9, 2),
+        "achieved_tflops": round(achieved_tflops, 2),
+        "mfu_vs_mxu_bf16_peak": round(mfu_mxu, 4),
+        "mfu_vs_vpu_f32_peak": round(mfu_vpu, 4),
+        "hbm_gbps": round(hbm_gbps, 2),
+        "vmem_gbps": round(vmem_gbps, 1),
+    }
+    if parity is not None:
+        rec["parity_max_rel_err"] = round(parity, 6)
+    if parity_res is not None:
+        rec["parity_residual_rel_diff"] = round(parity_res, 8)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
