@@ -45,3 +45,20 @@ solver = rt.Kaczmarz.create(
 X = rt.solve_kaczmarz_streamed(solver, b[:, None])
 err = float(jnp.linalg.norm(X[:, 0] - x_true) / jnp.linalg.norm(x_true))
 print(f"streamed randomized: rel_err={err:.2e}")
+
+# sparse systems: PaddedCSROperator gives O(nnz_row) row actions (the
+# reference's CSC dot_with_matrix_row / kaczmarz_update! fast paths) —
+# a sweep costs O(m·k_max) instead of the dense O(m·n)
+import numpy as np  # noqa: E402
+
+A_np = np.asarray(A)
+A_sp = A_np.copy()
+A_sp[np.random.default_rng(0).uniform(size=A_sp.shape) < 0.7] = 0.0
+b_sp = jnp.asarray(A_sp) @ x_true
+solver = rt.Kaczmarz.create(
+    rt.PaddedCSROperator.from_dense(A_sp), reg=rt.L2Regularization(1e-6),
+    iterations=30,
+)
+x = rt.solve(solver, b_sp)
+print("padded-CSR sparse rel_err:",
+      float(jnp.linalg.norm(x - x_true) / jnp.linalg.norm(x_true)))

@@ -94,22 +94,21 @@ def main():
 
     for nd in (1, 2, 4, 8):
         mesh = make_mesh(devices=jax.devices()[:nd], axis_names=("rows",))
-        with jax.sharding.use_mesh(mesh):
-            op_r = row_sharded_operator(A, mesh)
-            s = rt.CGNR.create(op_r, reg=rt.L2Regularization(1e-6),
-                               iterations=30)
-            b = jax.device_put(
-                jnp.asarray(b_np),
-                jax.NamedSharding(mesh, jax.sharding.PartitionSpec("rows")),
-            )
-            fn = jax.jit(lambda bb: rt.solve(s, bb))
-            np.asarray(fn(b))  # warm / compile
-            t0 = time.perf_counter()
-            reps = 3
-            for _ in range(reps):
-                out = fn(b)
-            np.asarray(out)
-            dt = (time.perf_counter() - t0) / reps
+        op_r = row_sharded_operator(A, mesh)
+        s = rt.CGNR.create(op_r, reg=rt.L2Regularization(1e-6),
+                           iterations=30)
+        b = jax.device_put(
+            jnp.asarray(b_np),
+            jax.NamedSharding(mesh, jax.sharding.PartitionSpec("rows")),
+        )
+        fn = jax.jit(lambda bb: rt.solve(s, bb))
+        np.asarray(fn(b))  # warm / compile
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            out = fn(b)
+        np.asarray(out)
+        dt = (time.perf_counter() - t0) / reps
         report["cgnr_row_sharded"][str(nd)] = {
             "solves_per_s": round(1.0 / dt, 2),
             "wall_s": round(dt, 4),
