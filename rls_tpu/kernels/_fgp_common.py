@@ -318,6 +318,12 @@ def make_tv_fgp_window(H: int, W: int, n_rows: int, row0, dtype):
     col = lax.broadcasted_iota(jnp.int32, (n_rows, W), 1)
     vmask = ((g >= 0) & (g < H - 1)).astype(dtype)
     hmask = (((g >= 0) & (g < H)) & (col < W - 1)).astype(dtype)
+    # gt's vertical roll brings the dual row ABOVE; at global row 0 that
+    # row does not exist and the wrap would deliver the window's LAST row
+    # — an unmasked interior dual when the window starts at the image top
+    # (the full-image kernel gets an exact zero there because its last
+    # dual row is masked). Mask the wrapped term at g == 0 explicitly.
+    has_above = (g > 0).astype(dtype)
 
     def gv(u):
         return pltpu.roll(u, n_rows - 1, 0) - u
@@ -326,7 +332,7 @@ def make_tv_fgp_window(H: int, W: int, n_rows: int, row0, dtype):
         return pltpu.roll(u, W - 1, 1) - u
 
     def gt(pv, ph):
-        tv = pltpu.roll(pv, 1, 0) - pv
+        tv = pltpu.roll(pv, 1, 0) * has_above - pv
         th = pltpu.roll(ph, 1, 1) - ph
         return tv + th
 

@@ -55,9 +55,9 @@ __all__ = [
 def _kernel(
     scal_ref,  # SMEM (P, 2): per-problem [rho, lam_eff]
     tab_ref,  # SMEM (iterations, 4): momentum table (col 0 = α)
-    x0_hbm,  # ANY (P, H, W): AᴴB
+    x0_hbm,  # ANY (P, H + 2·halo, W): AᴴB, zero-padded by halo rows
     out_ref,  # VMEM (1, TR, W) solution tile (revisited; last write wins)
-    xbuf_hbm,  # ANY (3, H, W): rotating x_{i-1}/x_i/x_{i+1} buffers
+    xbuf_hbm,  # ANY (3, H + 2·halo, W): rotating x_{i-1}/x_i/x_{i+1}
     x0_s,  # VMEM scratch (TRH, W)
     xi_s,  # VMEM scratch (TRH, W)
     xm_s,  # VMEM scratch (TRH, W)
@@ -77,10 +77,31 @@ def _kernel(
     TRH = TR + 2 * halo
     f32 = x0_s.dtype
 
-    # clamped full-size read window: row0 = clamp(t·TR − halo, 0, H − TRH);
-    # all offsets stay multiples of 8 (TR, halo, H are)
-    row0 = jnp.clip(t * TR - halo, 0, H - TRH)
-    int_off = t * TR - row0  # interior start within the window
+    # the HBM buffers are halo-padded, so every tile reads the full-size
+    # window at padded offset t·TR and the interior sits at the STATIC
+    # offset `halo` (Mosaic needs provably 8-aligned vector slices; a
+    # clamped dynamic offset is not provable). Window row j holds global
+    # image row t·TR − halo + j; the pad rows are zeroed once below so
+    # edge windows read exact zeros (garbage could be NaN, and NaN·0
+    # would leak through the masks).
+    row0 = t * TR  # padded coords
+    row0_img = t * TR - halo  # global image coords for the mask factories
+
+    @pl.when(jnp.logical_and(p == 0, jnp.logical_and(i == 0, t == 0)))
+    def _zero_pads():
+        xn_s[...] = jnp.zeros((TRH, W), f32)
+        for buf in range(3):
+            for off in (0, halo + H):
+                pltpu.make_async_copy(
+                    xn_s.at[pl.ds(0, halo), :],
+                    xbuf_hbm.at[buf, pl.ds(off, halo), :],
+                    sems.at[3],
+                ).start()
+                pltpu.make_async_copy(
+                    xn_s.at[pl.ds(0, halo), :],
+                    xbuf_hbm.at[buf, pl.ds(off, halo), :],
+                    sems.at[3],
+                ).wait()
 
     cp0 = pltpu.make_async_copy(
         x0_hbm.at[p, pl.ds(row0, TRH), :], x0_s, sems.at[0]
@@ -129,9 +150,9 @@ def _kernel(
     a = tab_ref[i, 0]
 
     normal = make_sepconv_normal_stencil_window(
-        taps[0], taps[1], H, W, TRH, row0, f32
+        taps[0], taps[1], H, W, TRH, row0_img, f32
     )
-    _, fgp = make_tv_fgp_window(H, W, TRH, row0, f32)
+    _, fgp = make_tv_fgp_window(H, W, TRH, row0_img, f32)
 
     x = xi_s[...]
     x0hat = x0_s[...]
@@ -143,13 +164,88 @@ def _kernel(
     # write the interior rows of x_{i+1} back to the rotating buffer and
     # the solution tile (the final iteration's write is the last visit)
     wr = pltpu.make_async_copy(
-        xn_s.at[pl.ds(int_off, TR), :],
-        xbuf_hbm.at[nxt, pl.ds(t * TR, TR), :],
+        xn_s.at[pl.ds(halo, TR), :],
+        xbuf_hbm.at[nxt, pl.ds(halo + t * TR, TR), :],
         sems.at[3],
     )
     wr.start()
-    out_ref[0] = xn_s[pl.ds(int_off, TR), :]
+    out_ref[0] = xn_s[halo : halo + TR, :]
     wr.wait()
+
+
+def _kernel_vmem(
+    scal_ref,  # SMEM (P, 2)
+    tab_ref,  # SMEM (iterations, 4)
+    x0_ref,  # VMEM (1, H, W): AᴴB block, resident across the i axis
+    out_ref,  # VMEM (1, H, W): solution (revisited; last write wins)
+    xc_s,  # VMEM scratch (H, W): x_i
+    xm_s,  # VMEM scratch (H, W): x_{i-1}
+    xn_s,  # VMEM scratch (H, W): x_{i+1} being assembled
+    *,
+    H: int,
+    W: int,
+    TR: int,
+    halo: int,
+    taps: tuple,
+    tv_iterations: int,
+):
+    """VMEM-carry tiled variant: the FISTA carries stay full-image VMEM
+    scratch (persistent across grid steps); only the iteration TEMPS
+    (stencil passes, FGP duals) are tile-sized — they are what blew the
+    monolithic kernel's budget. The tile loop is a STATIC python loop,
+    so every slice offset is a literal: no DMA, no dynamic-alignment
+    constraints. grid = (problems, iterations)."""
+    p = pl.program_id(0)
+    i = pl.program_id(1)
+    f32 = xc_s.dtype
+
+    @pl.when(i == 0)
+    def _init():
+        xc_s[...] = jnp.zeros((H, W), f32)
+        xm_s[...] = jnp.zeros((H, W), f32)
+
+    rho = scal_ref[p, 0]
+    lam = scal_ref[p, 1]
+    a = tab_ref[i, 0]
+    T = H // TR
+
+    for t in range(T):
+        lo = max(0, t * TR - halo)
+        hi = min(H, (t + 1) * TR + halo)
+        n_rows = hi - lo
+        off = t * TR - lo  # interior start within the window (static)
+        normal = make_sepconv_normal_stencil_window(
+            taps[0], taps[1], H, W, n_rows, lo, f32
+        )
+        _, fgp = make_tv_fgp_window(H, W, n_rows, lo, f32)
+        x = xc_s[lo:hi, :]
+        x_mom = x + a * (x - xm_s[lo:hi, :])
+        res = normal(x_mom) - x0_ref[0, lo:hi, :]
+        x_new = fgp(x_mom - rho * res, rho * lam, tv_iterations)
+        xn_s[t * TR : (t + 1) * TR, :] = x_new[off : off + TR, :]
+
+    # rotate: x_{i-1} ← x_i, x_i ← x_{i+1} (cheap VMEM copies)
+    xm_s[...] = xc_s[...]
+    xc_s[...] = xn_s[...]
+    out_ref[0] = xn_s[...]
+
+
+def pick_tile_rows_vmem(
+    H: int, W: int, halo: int, vmem_budget: int | None = None
+):
+    """Largest 8-multiple divisor of H for the VMEM-carry variant: 3
+    full-image scratches + x0/out blocks + ~12 tile-sized temp planes
+    must fit the budget. Returns None when even the smallest tile
+    doesn't fit (fall back to the HBM-streamed variant)."""
+    budget = vmem_budget if vmem_budget is not None else 14 * 1024 * 1024
+    fixed = 5 * H * W * 4  # xc, xm, xn, x0 block, out block
+    best = None
+    for tr in range(8, H + 1, 8):
+        if H % tr:
+            continue
+        if fixed + 12 * (tr + 2 * halo) * W * 4 <= budget:
+            best = tr
+    return best
 
 
 def pick_tile_rows(H: int, W: int, halo: int, vmem_budget: int | None = None):
@@ -178,6 +274,7 @@ def fista_tv_tiled(
     tv_iterations: int,
     tile_rows: int | None = None,
     interpret: bool = False,
+    mode: str = "auto",
 ):
     P, H, W = x0hat_b.shape
     kh = len(taps[0])
@@ -185,13 +282,6 @@ def fista_tv_tiled(
     halo = -(-cone // 8) * 8
     if H % 8:
         raise ValueError(f"tiled path needs H % 8 == 0, got {H}")
-    TR = tile_rows if tile_rows is not None else pick_tile_rows(H, W, halo)
-    if TR is None or H % TR or TR + 2 * halo > H or H // TR < 2:
-        raise ValueError(
-            f"no valid tile size for H={H}, W={W}, halo={halo} "
-            "(use the monolithic fused kernel instead)"
-        )
-    TRH = TR + 2 * halo
 
     scal = jnp.stack(
         [
@@ -201,6 +291,69 @@ def fista_tv_tiled(
         axis=1,
     )
     tab = jnp.asarray(_momentum_table("fista", iterations))
+
+    # prefer the DMA-free VMEM-carry variant when the carries fit; the
+    # HBM-streamed variant has no size limit but pays window DMAs
+    if mode == "auto":
+        mode = "vmem" if pick_tile_rows_vmem(H, W, halo) else "hbm"
+    if mode == "vmem":
+        TR = (
+            tile_rows
+            if tile_rows is not None
+            else pick_tile_rows_vmem(H, W, halo)
+        )
+        if TR is None or H % TR:
+            raise ValueError(
+                f"no valid VMEM-carry tile size for H={H}, W={W}, "
+                f"halo={halo}"
+            )
+        return pl.pallas_call(
+            functools.partial(
+                _kernel_vmem,
+                H=H,
+                W=W,
+                TR=TR,
+                halo=halo,
+                taps=taps,
+                tv_iterations=tv_iterations,
+            ),
+            grid=(P, iterations),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, H, W), lambda p, i: (p, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, H, W), lambda p, i: (p, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((P, H, W), x0hat_b.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((H, W), jnp.float32),
+                pltpu.VMEM((H, W), jnp.float32),
+                pltpu.VMEM((H, W), jnp.float32),
+            ],
+            interpret=interpret,
+        )(scal, tab, x0hat_b)
+
+    if W % 128 and not interpret:
+        # Mosaic DMA slices need lane extent ≡ 0 (mod 128); the streamed
+        # windows are full-width, so W itself must be 128-aligned on chip
+        raise ValueError(
+            f"hbm-streamed tiles need W % 128 == 0 on TPU, got {W}"
+        )
+    TR = tile_rows if tile_rows is not None else pick_tile_rows(H, W, halo)
+    if TR is None or H % TR or TR + 2 * halo > H or H // TR < 2:
+        raise ValueError(
+            f"no valid tile size for H={H}, W={W}, halo={halo} "
+            "(use the monolithic fused kernel instead)"
+        )
+    TRH = TR + 2 * halo
+    # halo-pad the HBM-resident inputs so every window read is full-size
+    # at an 8-aligned offset (see _kernel)
+    x0_pad = jnp.pad(x0hat_b, ((0, 0), (halo, halo), (0, 0)))
 
     sol, _ = pl.pallas_call(
         functools.partial(
@@ -227,7 +380,7 @@ def fista_tv_tiled(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((P, H, W), x0hat_b.dtype),
-            jax.ShapeDtypeStruct((3, H, W), x0hat_b.dtype),
+            jax.ShapeDtypeStruct((3, H + 2 * halo, W), x0hat_b.dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((TRH, W), jnp.float32),
@@ -237,7 +390,7 @@ def fista_tv_tiled(
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
-    )(scal, tab, x0hat_b)
+    )(scal, tab, x0_pad)
     return sol
 
 
@@ -289,8 +442,13 @@ def check_fista_tv_tiled(solver):
     halo = -(-cone // 8) * 8
     if H % 8:
         raise ValueError(f"tiled path needs H % 8 == 0, got {H}")
-    tr = pick_tile_rows(H, W, halo)
-    if tr is None or H // tr < 2 or tr + 2 * halo > H:
+    tr_v = pick_tile_rows_vmem(H, W, halo)
+    tr_h = pick_tile_rows(H, W, halo)
+    if tr_h is not None and (H // tr_h < 2 or tr_h + 2 * halo > H):
+        tr_h = None
+    if W % 128 and jax.default_backend() != "cpu":
+        tr_h = None  # chip DMA lane-alignment (see fista_tv_tiled)
+    if tr_v is None and tr_h is None:
         raise ValueError(
             f"no valid tile size for H={H}, W={W}, halo={halo} "
             "(use the monolithic fused kernel instead)"
@@ -299,11 +457,20 @@ def check_fista_tv_tiled(solver):
 
 
 def solve_fista_tv_tiled(
-    solver, B_mat, interpret: bool | None = None, tile_rows: int | None = None
+    solver,
+    B_mat,
+    interpret: bool | None = None,
+    tile_rows: int | None = None,
+    mode: str = "auto",
 ):
     """Drop-in fast path for `solve_batched_unrolled(solver, B)` at image
     sizes beyond the monolithic kernel's VMEM ceiling (512², 1024², …).
-    Returns the n×K solution matrix like the composed driver."""
+    Returns the n×K solution matrix like the composed driver.
+
+    ``mode``: "vmem" keeps the FISTA carries full-image VMEM-resident and
+    loops tiles statically in-kernel (DMA-free; mid sizes ~512–768²);
+    "hbm" streams halo windows through a rotating HBM triple buffer (no
+    size limit); "auto" picks vmem when it fits."""
     taps = check_fista_tv_tiled(solver)
     op = solver.AHA.A
     reg = solver.reg
@@ -329,5 +496,6 @@ def solve_fista_tv_tiled(
         reg.iterations_tv,
         tile_rows=tile_rows,
         interpret=interpret,
+        mode=mode,
     )
     return out.reshape(out.shape[0], H * W).T

@@ -599,8 +599,16 @@ def test_fista_tv_tiled_matches_composed(rng):
     X = jnp.asarray(rng.normal(size=(batch, n * n)), jnp.float32)
     B = jax.vmap(op.mv)(X).T
     want = np.asarray(jax.jit(solve_batched_unrolled)(solver, B))
-    got = np.asarray(solve_fista_tv_tiled(solver, B, tile_rows=16))
+    got = np.asarray(
+        solve_fista_tv_tiled(solver, B, tile_rows=16, mode="hbm")
+    )
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+    # the DMA-free VMEM-carry variant must agree too (static in-kernel
+    # tile loop; same windows, same masks)
+    got_v = np.asarray(
+        solve_fista_tv_tiled(solver, B, tile_rows=16, mode="vmem")
+    )
+    np.testing.assert_allclose(got_v, want, rtol=0, atol=1e-4)
 
 
 def test_fista_tv_tiled_rejects_unsupported(rng):

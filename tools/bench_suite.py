@@ -218,6 +218,38 @@ def main():
          np.linalg.norm(x5b[:, 0] - xtk2) / np.linalg.norm(xtk2),
          timeit(f5b, B5b), 4, "problems/s")
 
+    # ---- 6. FISTA-TV 512² — the tiled beyond-VMEM kernel ------------------
+    # (the monolithic fused kernel caps at ~384²; the composed fallback
+    # measured 14.8 p/s here in round 2 — the "512² cliff")
+    from rls_tpu.kernels import solve_fista_tv_tiled
+
+    N6, B6n = 512, 16
+    k6 = 9
+    ax6 = np.arange(k6) - k6 // 2
+    g6 = np.exp(-(ax6**2) / (2 * 2.0**2))
+    kern6 = np.outer(g6, g6)
+    kern6 /= kern6.sum()
+    op6 = rt.SeparableConvOperator.from_kernel(kern6, im_shape=(N6, N6))
+    s6 = rt.FISTA.create(
+        op6,
+        reg=rt.TVRegularization(5e-4, shape=(N6, N6), iterations_tv=10,
+                                unroll=True),
+        iterations=50, rho=0.95, rel_tol=0.0, track_residual=False,
+    )
+    imgs6 = np.zeros((B6n, N6, N6), np.float32)
+    for bb in range(B6n):
+        for _ in range(6):
+            i0, j0 = rng.integers(0, N6 - 64, size=2)
+            w6, h6 = rng.integers(16, 128, size=2)
+            imgs6[bb, i0:i0 + w6, j0:j0 + h6] += rng.normal()
+    xs6 = jnp.asarray(imgs6.reshape(B6n, N6 * N6))
+    B6 = jax.vmap(op6.mv)(xs6).T
+    f6 = jax.jit(lambda B_: solve_fista_tv_tiled(s6, B_))
+    x6 = np.asarray(f6(B6))
+    emit("fista_tv_512_tiled_b16",
+         np.linalg.norm(x6.T - np.asarray(xs6)) / np.linalg.norm(np.asarray(xs6)),
+         timeit(f6, B6), B6n, "problems/s")
+
 
 if __name__ == "__main__":
     main()

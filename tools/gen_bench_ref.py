@@ -30,7 +30,12 @@ def main():
     import jax
     import numpy as np
 
+    # the env prefix is NOT enough on this machine — the TPU plugin
+    # overrides JAX_PLATFORMS; pin the platform via config
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir", f"{REPO}/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     import jax.numpy as jnp
 
     import rls_tpu as rt

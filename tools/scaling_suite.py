@@ -39,6 +39,9 @@ import numpy as np  # noqa: E402
 
 def main():
     import jax
+
+    # the env var alone is overridden by the TPU plugin on this machine
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     import rls_tpu as rt
