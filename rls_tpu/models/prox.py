@@ -230,12 +230,16 @@ def _use_jacobi(m, method: str) -> bool:
     bit-splits f32; f64 runs XLA's SVD, which is accurate on f64-native
     backends); "auto" additionally caps the minor dimension (the sweep
     loop is unrolled n−1 steps per sweep, so compile time grows with
-    min(m, n))."""
+    min(m, n)). Gate set from measured on-chip data
+    (tools/jacobi_compile_table.py → docs/tpu.md): accuracy holds at
+    ~1.3e-5 through n=128 and cold compile is 26 s / 73 s / 163 s at
+    n = 32/64/128 (cached thereafter) — 128 is the largest size whose
+    one-time compile cost stays tolerable."""
     if m.dtype != jnp.float32:
         return False
     if method == "jacobi":
         return True
-    return method == "auto" and min(m.shape[-2:]) <= 64
+    return method == "auto" and min(m.shape[-2:]) <= 128
 
 
 def _svt(m, lam, method: str = "auto"):
