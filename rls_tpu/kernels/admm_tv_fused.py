@@ -31,7 +31,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ._fgp_common import make_gram_normal_noconcat, make_tv_fgp
+from ._fgp_common import (
+    make_gram_normal_noconcat,
+    make_sepconv_normal_stencil,
+    make_tv_fgp,
+)
 
 __all__ = ["admm_tv_fused", "solve_admm_tv_fused"]
 
@@ -47,21 +51,29 @@ def _kernel(
     cg_iterations: int,
     tv_iterations: int,
     tol_inner: float,
+    taps: tuple | None = None,
 ):
     x0hat = x0_ref[0]
-    lcat = lcat_ref[...]
-    rcat = rcat_ref[...]
     b = pl.program_id(0)
     rho = scal_ref[b, 0]
     lam = scal_ref[b, 1]
     H, W = x0hat.shape
     f32 = x0hat.dtype
 
-    # concat-free compensation (identical math, skips the (3H, W)/(H, 3W)
-    # temporaries — see fista_tv_fused); factors derived once per grid step
-    l2 = jnp.concatenate([lcat[:, :H], lcat[:, 2 * H :]], axis=0)
-    r2 = jnp.concatenate([rcat[:W], rcat[2 * W :]], axis=1)
-    normal = make_gram_normal_noconcat(l2, lcat[:, :H], r2, rcat[:W], f32)
+    if taps is not None:
+        # exact VPU stencil Gram — used for widths that are not
+        # 128-aligned (Mosaic rejects the compensated gram's in-kernel
+        # lane-dim concats/slices there) and valid at any size
+        normal = make_sepconv_normal_stencil(taps[0], taps[1], H, W, f32)
+    else:
+        lcat = lcat_ref[...]
+        rcat = rcat_ref[...]
+        # concat-free compensation (identical math, skips the
+        # (3H, W)/(H, 3W) temporaries — see fista_tv_fused); factors
+        # derived once per grid step
+        l2 = jnp.concatenate([lcat[:, :H], lcat[:, 2 * H :]], axis=0)
+        r2 = jnp.concatenate([rcat[:W], rcat[2 * W :]], axis=1)
+        normal = make_gram_normal_noconcat(l2, lcat[:, :H], r2, rcat[:W], f32)
 
     def matvec(v):  # composite AᴴA + ρI
         return normal(v) + rho * v
@@ -130,6 +142,7 @@ def admm_tv_fused(
     tv_iterations: int,
     tol_inner: float,
     interpret: bool = False,
+    taps: tuple | None = None,
 ):
     B, H, W = x0hat_b.shape
     scal = jnp.stack(
@@ -147,12 +160,19 @@ def admm_tv_fused(
             cg_iterations=cg_iterations,
             tv_iterations=tv_iterations,
             tol_inner=tol_inner,
+            taps=taps,
         ),
         grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((H, 3 * H), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * W, W), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                lcat.shape, lambda b: tuple(0 for _ in lcat.shape),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                rcat.shape, lambda b: tuple(0 for _ in rcat.shape),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -242,7 +262,15 @@ def solve_admm_tv_fused(solver, B_mat, interpret: bool | None = None):
         lambda b: normalization_factor(solver.normalize_reg, solver.A, b)
     )(bt)
     lam_eff = reg.get_lam() * scale
-    lcat, rcat = op.cat["normal"]
+    taps = None
+    if (W % 128 or H % 128) and op.taps_len is not None:
+        # non-128-aligned widths: the compensated gram's in-kernel
+        # lane-dim concats/slices don't lower on Mosaic — use the exact
+        # VPU stencil Gram (factor inputs become unused dummies)
+        taps = op.taps_hw()
+        lcat = rcat = jnp.zeros((1, 1), jnp.float32)
+    else:
+        lcat, rcat = op.cat["normal"]
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     out = admm_tv_fused(
@@ -256,5 +284,6 @@ def solve_admm_tv_fused(solver, B_mat, interpret: bool | None = None):
         reg.iterations_tv,
         float(tol_inner),
         interpret=interpret,
+        taps=taps,
     )
     return out.reshape(out.shape[0], H * W).T

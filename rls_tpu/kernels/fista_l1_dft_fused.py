@@ -225,6 +225,14 @@ def solve_fista_l1_dft_fused(solver, B_mat, interpret: bool | None = None):
     lam_eff = solver.reg.get_lam() * scale
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if (H % 128 or W % 128) and not interpret:
+        # Mosaic rejects the split-DFT compensation's in-kernel lane-dim
+        # concats/slices when the width is not 128-aligned; the DFT has
+        # no stencil form, so such sizes must use the composed path
+        raise ValueError(
+            f"fused DFT path needs H, W % 128 == 0 on TPU, got {(H, W)}; "
+            "use the composed solve path"
+        )
     out = fista_l1_dft_fused(
         x0hat_b,
         op.cat,

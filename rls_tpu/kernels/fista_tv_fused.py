@@ -526,6 +526,16 @@ def solve_pgm_tv_fused(
         if solver.rel_tol is None or isinstance(solver.rel_tol, jax.core.Tracer):
             raise ValueError("early_exit needs a concrete solver.rel_tol")
         rel_tol = float(solver.rel_tol)
+    op_ = solver.AHA.A
+    H_, W_ = op_.im_shape
+    if (W_ % 128 or H_ % 128) and op_.taps_len is not None:
+        # Mosaic rejects the compensated grams' in-kernel lane-dim
+        # concats/slices when the width is not 128-aligned ("offset
+        # mismatch on non-concat dimension"); the VPU stencil gram is
+        # exact f32 and slice-free — route small images through it
+        return _solve_pgm_tv_fused_stencil(
+            solver, B_mat, interpret, method, restart, rel_tol
+        )
     op = solver.AHA.A
     reg = solver.reg
     H, W = op.im_shape
@@ -557,6 +567,46 @@ def solve_pgm_tv_fused(
         interpret=interpret,
         method=method,
         gram=gram,
+        restart=restart,
+        rel_tol=rel_tol,
+    )
+    return out.reshape(out.shape[0], H * W).T
+
+
+def _solve_pgm_tv_fused_stencil(
+    solver, B_mat, interpret, method, restart, rel_tol
+):
+    """Stencil-gram variant of the fused solve (see solve_pgm_tv_fused):
+    exact f32 VPU stencils instead of the compensated MXU matmuls — used
+    for images whose width is not 128-aligned."""
+    op = solver.AHA.A
+    reg = solver.reg
+    H, W = op.im_shape
+    taps = op.taps_hw()
+    B_mat = jnp.asarray(B_mat)
+    bt = B_mat.T
+    x0hat_b = jax.vmap(solver.A.rmv)(bt).reshape(-1, H, W)
+    from ..models.regularization import normalization_factor
+
+    scale = jax.vmap(
+        lambda b: normalization_factor(solver.normalize_reg, solver.A, b)
+    )(bt)
+    lam_eff = reg.get_lam() * scale
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    dummy = jnp.zeros((1, 1), jnp.float32)  # factor slots unused by stencil
+    out = fista_tv_fused(
+        x0hat_b,
+        dummy,
+        dummy,
+        solver.rho,
+        lam_eff,
+        solver.iterations,
+        reg.iterations_tv,
+        interpret=interpret,
+        method=method,
+        gram="stencil",
+        taps=taps,
         restart=restart,
         rel_tol=rel_tol,
     )

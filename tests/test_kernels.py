@@ -229,7 +229,10 @@ def test_fista_l1_dft_fused_matches_composed(rng):
     X = jnp.asarray(rng.normal(size=(batch, N2)), jnp.float32)
     B = jax.vmap(op.mv)(X).T
     want = np.asarray(jax.jit(solve_batched_unrolled)(solver, B))
-    got = np.asarray(solve_fista_l1_dft_fused(solver, B))
+    # interpret on every platform: 16 wide fails the chip's 128-lane
+    # alignment gate by design; the compiled path runs in bench/parity
+    # suites at 256^2
+    got = np.asarray(solve_fista_l1_dft_fused(solver, B, interpret=True))
     np.testing.assert_allclose(got, want, rtol=0, atol=2e-4)
 
 
@@ -599,14 +602,21 @@ def test_fista_tv_tiled_matches_composed(rng):
     X = jnp.asarray(rng.normal(size=(batch, n * n)), jnp.float32)
     B = jax.vmap(op.mv)(X).T
     want = np.asarray(jax.jit(solve_batched_unrolled)(solver, B))
+    # interpret=True on every platform: this test checks SEMANTICS (the
+    # 48-wide image fails the chip's W%128 DMA gate by design); the
+    # compiled chip path is exercised by bench_suite's 512^2 config
     got = np.asarray(
-        solve_fista_tv_tiled(solver, B, tile_rows=16, mode="hbm")
+        solve_fista_tv_tiled(
+            solver, B, tile_rows=16, mode="hbm", interpret=True
+        )
     )
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
     # the DMA-free VMEM-carry variant must agree too (static in-kernel
     # tile loop; same windows, same masks)
     got_v = np.asarray(
-        solve_fista_tv_tiled(solver, B, tile_rows=16, mode="vmem")
+        solve_fista_tv_tiled(
+            solver, B, tile_rows=16, mode="vmem", interpret=True
+        )
     )
     np.testing.assert_allclose(got_v, want, rtol=0, atol=1e-4)
 

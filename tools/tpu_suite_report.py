@@ -33,10 +33,16 @@ def main():
         text=True,
     )
     out = proc.stdout
+    # keep the full run log — the markdown is a summary, not the record
+    with open(os.path.join(REPO, ".tpu_suite_r03_full.log"), "w") as f:
+        f.write(out + "\n--- stderr ---\n" + proc.stderr)
     tail = out.strip().splitlines()[-1] if out.strip() else ""
     reasons = Counter()
-    for m in re.finditer(r"^SKIPPED \[(\d+)\] [^:]+:\d+: (.+)$", out, re.M):
+    for m in re.finditer(
+        r"^SKIPPED \[(\d+)\] [^:]+?(?::\d+)?: (.+)$", out, re.M
+    ):
         reasons[m.group(2).strip()] += int(m.group(1))
+    failures = re.findall(r"^FAILED (\S+)", out, re.M)
     # collapse to causes
     causes = Counter()
     for reason, n in reasons.items():
@@ -79,6 +85,10 @@ def main():
     ]
     for reason, n in reasons.most_common():
         lines.append(f"- {n} x {reason}")
+    if failures:
+        lines += ["", "## Failures", ""]
+        for f_ in failures:
+            lines.append(f"- {f_}")
     md = "\n".join(lines) + "\n"
     path = os.path.join(REPO, "TPU_SUITE_r03.md")
     with open(path, "w") as f:
