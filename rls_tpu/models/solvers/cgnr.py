@@ -162,14 +162,34 @@ def _cg_normal_reorth(AHA, lam, rhs, iterations: int):
     normalized residuals and re-orthogonalizing each new residual against
     all of them (twice — "twice is enough") restores finite termination:
     ≤ n steps to the f32 attainable floor ~κ·ε. The basis is (K, n) with
-    K = min(iterations, n) — two small MXU matmuls per iteration.
+    K = min(iterations, n) — two small matmuls per iteration, COMPENSATED
+    for real f32: on a bf16-input MXU a raw projection is only ~4e-3
+    accurate, which destroys exactly the orthogonality this basis exists
+    to restore (measured: the chip stalled at 0.10 with raw projections
+    where CPU-f32 reached 1e-5).
     """
     import jax.lax as lax
 
     n = rhs.shape[0]
     K = min(iterations, n)
     dt = rhs.dtype
-    z00 = jnp.vdot(rhs, rhs).real
+    if dt == jnp.float32:
+        from ...ops._precise import mm_both
+
+        def project(Q, r):
+            coeffs = mm_both(Q.conj(), r[:, None])
+            return mm_both(Q.T, coeffs)[:, 0]
+    else:
+
+        def project(Q, r):
+            return Q.T @ (Q.conj() @ r)
+
+    def vdot(a, b):
+        # explicit elementwise+reduce: a vector dot may otherwise lower
+        # onto the bf16-input MXU on chip
+        return jnp.sum(jnp.conj(a) * b).real
+
+    z00 = vdot(rhs, rhs)
     tiny = jnp.asarray(jnp.finfo(jnp.float32).tiny, z00.dtype)
     qnorm = jnp.sqrt(jnp.maximum(z00, tiny))
     Q0 = jnp.zeros((K, n), dt).at[0].set(rhs / qnorm.astype(dt))
@@ -178,13 +198,13 @@ def _cg_normal_reorth(AHA, lam, rhs, iterations: int):
         x, r, p, zeta, Q = carry
         live = (zeta > 1e-14 * z00).astype(z00.dtype)
         v = AHA.mv(p) + lam.astype(dt) * p
-        denom = jnp.vdot(p, v).real
+        denom = vdot(p, v)
         alpha = (zeta / jnp.where(denom > 0, denom, 1.0)) * live
         x = x + alpha.astype(dt) * p
         r = r - alpha.astype(dt) * v
         for _ in range(2):  # full reorthogonalization, twice
-            r = r - Q.T @ (Q.conj() @ r)
-        znew = jnp.vdot(r, r).real
+            r = r - project(Q, r)
+        znew = vdot(r, r)
         beta = znew / jnp.where(zeta > 0, zeta, 1.0)
         p = r + beta.astype(dt) * p
         qrow = r / jnp.sqrt(jnp.maximum(znew, tiny)).astype(dt)
