@@ -263,9 +263,9 @@ def solve_admm_tv_fused(solver, B_mat, interpret: bool | None = None):
     )(bt)
     lam_eff = reg.get_lam() * scale
     taps = None
-    if (W % 128 or H % 128) and op.taps_len is not None:
-        # non-128-aligned widths: the compensated gram's in-kernel
-        # lane-dim concats/slices don't lower on Mosaic — use the exact
+    if (W % 64 or H % 64) and op.taps_len is not None:
+        # the compensated gram's in-kernel lane-dim REF slices (offset
+        # 2H) need H, W % 64 == 0 on Mosaic — otherwise use the exact
         # VPU stencil Gram (factor inputs become unused dummies)
         taps = op.taps_hw()
         lcat = rcat = jnp.zeros((1, 1), jnp.float32)

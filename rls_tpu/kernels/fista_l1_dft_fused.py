@@ -225,12 +225,14 @@ def solve_fista_l1_dft_fused(solver, B_mat, interpret: bool | None = None):
     lam_eff = solver.reg.get_lam() * scale
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    if (H % 128 or W % 128) and not interpret:
+    if (H % 64 or W % 64) and not interpret:
         # Mosaic rejects the split-DFT compensation's in-kernel lane-dim
-        # concats/slices when the width is not 128-aligned; the DFT has
-        # no stencil form, so such sizes must use the composed path
+        # REF slices at offsets not divisible by 128 — the [hi hi lo]
+        # factors are sliced at lane offset 2H/2W, so H, W % 64 == 0 is
+        # required (64^2 and up compile; 16/24/32 fail). The DFT has no
+        # stencil form, so smaller sizes must use the composed path.
         raise ValueError(
-            f"fused DFT path needs H, W % 128 == 0 on TPU, got {(H, W)}; "
+            f"fused DFT path needs H, W % 64 == 0 on TPU, got {(H, W)}; "
             "use the composed solve path"
         )
     out = fista_l1_dft_fused(

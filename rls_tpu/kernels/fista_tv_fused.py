@@ -528,11 +528,12 @@ def solve_pgm_tv_fused(
         rel_tol = float(solver.rel_tol)
     op_ = solver.AHA.A
     H_, W_ = op_.im_shape
-    if (W_ % 128 or H_ % 128) and op_.taps_len is not None:
-        # Mosaic rejects the compensated grams' in-kernel lane-dim
-        # concats/slices when the width is not 128-aligned ("offset
-        # mismatch on non-concat dimension"); the VPU stencil gram is
-        # exact f32 and slice-free — route small images through it
+    if (W_ % 64 or H_ % 64) and op_.taps_len is not None:
+        # Mosaic rejects the compensated grams' in-kernel lane-dim REF
+        # slices at offsets not divisible by 128 ("offset mismatch on
+        # non-concat dimension"); the [hi hi lo] factors are sliced at
+        # lane offset 2H, so H, W % 64 == 0 is required. The VPU stencil
+        # gram is exact f32 and slice-free — route smaller images there
         return _solve_pgm_tv_fused_stencil(
             solver, B_mat, interpret, method, restart, rel_tol
         )
