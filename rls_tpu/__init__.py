@@ -4,7 +4,7 @@ From-scratch JAX/XLA/Pallas framework with the capabilities of
 RegularizedLeastSquares.jl (reference mounted read-only at /root/reference).
 """
 
-from . import ops, utils
+from . import deprecated, ops, utils
 from .models import denoisers, prox, regularization
 from .models.prox import (
     L1Regularization,

@@ -318,3 +318,29 @@ def test_cgnr_refined_matches_plain_when_converged(rng):
     x_plain = np.asarray(rt.solve(s, b))
     x_ref = np.asarray(solve_cgnr_refined(s, b, rounds=3))
     np.testing.assert_allclose(x_ref, x_plain, atol=1e-5)
+
+
+def test_deprecated_shims(rng):
+    """Reference deprecated.jl shims: positional-x ctor warns and
+    forwards, vec_reg warns and wraps, ConstraintTransformedRegularization
+    raises with the upstream guidance."""
+    from rls_tpu.deprecated import (
+        ConstraintTransformedRegularization,
+        create_linear_solver_x,
+        vec_reg,
+    )
+
+    A = jnp.asarray(rng.normal(size=(6, 4)), jnp.float32)
+    with pytest.warns(DeprecationWarning, match="x0"):
+        s = create_linear_solver_x(
+            "CGNR", A, jnp.zeros((4,)), reg=rt.L2Regularization(1e-4),
+            kwarg_warning=False,
+        )
+    assert isinstance(s, rt.CGNR)
+    l1 = rt.L1Regularization(0.1)
+    with pytest.warns(DeprecationWarning):
+        assert vec_reg(l1) == [l1]
+    with pytest.warns(DeprecationWarning):
+        assert vec_reg([l1]) == [l1]
+    with pytest.raises(RuntimeError, match="separate inputs"):
+        ConstraintTransformedRegularization(l1)
