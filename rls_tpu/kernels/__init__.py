@@ -4,6 +4,10 @@ from .fista_l1_dft_fused import fista_l1_dft_fused, solve_fista_l1_dft_fused
 from .sense_fused import fista_l21_sense_fused, solve_fista_l21_sense_fused
 from .fista_tv_fused import fista_tv_fused, solve_fista_tv_fused, solve_pgm_tv_fused
 from .fista_tv_tiled import fista_tv_tiled, solve_fista_tv_tiled
+from .kaczmarz_greedy import (
+    check_kaczmarz_greedy,
+    solve_kaczmarz_greedy,
+)
 from .kaczmarz_pallas import (
     kaczmarz_solve_pallas,
     kaczmarz_sweep_pallas,
@@ -19,6 +23,7 @@ __all__ = [
     "splitbregman_l1_tv_sense_fused",
     "solve_splitbregman_l1_tv_fused",
     "kaczmarz_solve_pallas",
+    "solve_kaczmarz_greedy",
     "solve_kaczmarz_streamed",
     "solve_batched_fast",
     "admm_tv_fused",

@@ -23,6 +23,7 @@ from .fista_l1_dft_fused import (
     check_fista_l1_dft_fused,
     solve_fista_l1_dft_fused,
 )
+from .kaczmarz_greedy import check_kaczmarz_greedy, solve_kaczmarz_greedy
 from .kaczmarz_pallas import check_kaczmarz_streamed, solve_kaczmarz_streamed
 from .sense_fused import check_fista_l21_sense_fused, solve_fista_l21_sense_fused
 from .fista_tv_fused import check_pgm_tv_fused, solve_pgm_tv_fused
@@ -43,6 +44,7 @@ _FUSED_WRAPPERS = (
      solve_splitbregman_l1_tv_fused),
     ("fista_l1_dft", check_fista_l1_dft_fused, solve_fista_l1_dft_fused),
     ("fista_l21_sense", check_fista_l21_sense_fused, solve_fista_l21_sense_fused),
+    ("kaczmarz_greedy", check_kaczmarz_greedy, solve_kaczmarz_greedy),
     ("kaczmarz_streamed", check_kaczmarz_streamed, solve_kaczmarz_streamed),
 )
 

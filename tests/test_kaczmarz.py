@@ -423,3 +423,77 @@ def test_kaczmarz_padded_csr_matches_dense(rng):
         sub_matrix_fraction=0.25, precompute_order=True, **kw)
     np.testing.assert_allclose(np.asarray(rt.solve(s_cr, b)),
                                np.asarray(rt.solve(s_dr, b)), atol=1e-5)
+
+
+def test_kaczmarz_greedy_kernel_forced_rows_match_math(rng):
+    """With a pinned row sequence, the greedy kernel's update pipeline
+    (α, x-axpy, dual bump, r −= r[row]·greedy_B[:,row], between-sweep
+    refresh) must match the composed greedy math exactly
+    (reference Kaczmarz.jl:283-317)."""
+    from rls_tpu.kernels.kaczmarz_greedy import solve_kaczmarz_greedy
+
+    m, n, S, T = 40, 12, 6, 3
+    A = rng.normal(size=(m, n)).astype(np.float32)
+    xt = rng.normal(size=(n,)).astype(np.float32)
+    b = A @ xt
+    s = rt.Kaczmarz.create(
+        rt.DenseOperator(jnp.asarray(A)), reg=rt.L2Regularization(1e-4),
+        iterations=T, greedy_randomized=True, sub_matrix_fraction=S / m,
+    )
+    assert s.sub_matrix_size == S
+    forced = rng.integers(0, m, size=(T, S)).astype(np.int32)
+    got = np.asarray(
+        solve_kaczmarz_greedy(s, jnp.asarray(b)[:, None],
+                              forced_rows=jnp.asarray(forced))
+    )[:, 0]
+
+    # composed math with the same pinned rows
+    lam = 1e-4
+    denom = 1.0 / ((A**2).sum(1) + lam)
+    eps_w = np.sqrt(lam)
+    B = A @ A.T + lam * np.eye(m, dtype=np.float32)
+    gB = B * denom[None, :]
+    x = np.zeros(n, np.float32)
+    vl = np.zeros(m, np.float32)
+    r = b.copy()
+    for t in range(T):
+        for j in range(S):
+            i = forced[t, j]
+            al = denom[i] * r[i]
+            x = x + al * A[i]
+            vl[i] += al * eps_w
+            r = r - r[i] * gB[:, i]
+        r = b - eps_w * vl - A @ x
+    np.testing.assert_allclose(got, x, rtol=0, atol=2e-5)
+
+
+def test_kaczmarz_greedy_kernel_converges(rng):
+    """Sampling mode: the kernel's Gumbel-max greedy selection must solve
+    a consistent system to the same accuracy class as the composed scan
+    path (different random stream, same per-step distribution)."""
+    from rls_tpu.kernels.kaczmarz_greedy import solve_kaczmarz_greedy
+
+    m, n = 60, 16
+    A = rng.normal(size=(m, n)).astype(np.float32)
+    xt = rng.normal(size=(n,)).astype(np.float32)
+    b = jnp.asarray(A @ xt)
+    s = rt.Kaczmarz.create(
+        rt.DenseOperator(jnp.asarray(A)), reg=rt.L2Regularization(1e-6),
+        iterations=12, greedy_randomized=True, sub_matrix_fraction=0.25,
+    )
+    x_k = np.asarray(solve_kaczmarz_greedy(s, b[:, None]))[:, 0]
+    x_s = np.asarray(rt.solve(s, b))
+    err_k = np.linalg.norm(x_k - xt) / np.linalg.norm(xt)
+    err_s = np.linalg.norm(x_s - xt) / np.linalg.norm(xt)
+    assert err_k < max(3 * err_s, 0.05), (err_k, err_s)
+
+
+def test_kaczmarz_greedy_kernel_rejects_unsupported(rng):
+    from rls_tpu.kernels.kaczmarz_greedy import check_kaczmarz_greedy
+
+    s = rt.Kaczmarz.create(
+        rt.DenseOperator(jnp.asarray(rng.normal(size=(8, 4)), jnp.float32)),
+        reg=rt.L2Regularization(1e-4), iterations=2,
+    )
+    with pytest.raises(ValueError, match="greedy"):
+        check_kaczmarz_greedy(s)
