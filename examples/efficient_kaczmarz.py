@@ -62,3 +62,16 @@ solver = rt.Kaczmarz.create(
 x = rt.solve(solver, b_sp)
 print("padded-CSR sparse rel_err:",
       float(jnp.linalg.norm(x - x_true) / jnp.linalg.norm(x_true)))
+
+# greedy-randomized mode (residual-driven e_k-thresholded sampling,
+# reference Kaczmarz.jl:393-426) — the fused sweep kernel runs each
+# S-step sweep as ONE Pallas call (2.1x the scan path on chip)
+solver = rt.Kaczmarz.create(
+    A, reg=rt.L2Regularization(1e-6), iterations=12,
+    greedy_randomized=True, sub_matrix_fraction=0.25,
+)
+from rls_tpu.kernels import solve_kaczmarz_greedy  # noqa: E402
+
+Xg = solve_kaczmarz_greedy(solver, b[:, None])
+print("greedy fused rel_err:",
+      float(jnp.linalg.norm(Xg[:, 0] - x_true) / jnp.linalg.norm(x_true)))

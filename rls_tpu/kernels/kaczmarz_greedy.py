@@ -311,8 +311,6 @@ def solve_kaczmarz_greedy(
     ``forced_rows`` (T, S) to pin the row sequence (testing)."""
     import numpy as np
 
-    from ..models.prox import PositiveRegularization
-
     prox = check_kaczmarz_greedy(solver)
     mat = solver.A.mat
     m, n = mat.shape
