@@ -366,7 +366,22 @@ def make_tv_fgp_window(H: int, W: int, n_rows: int, row0, dtype):
     return gt, fgp
 
 
-def make_tv_fgp(H: int, W: int, dtype, groups: int = 1):
+def _fgp_t2_schedule(iterations: int):
+    """The FGP momentum coefficients t2_i = (t_i - 1)/t_{i+1} as Python
+    floats (f64 recurrence). Data-independent, so unrolled kernels bake
+    them as constants instead of carrying the θ recurrence on-device."""
+    import math
+
+    t = 1.0
+    out = []
+    for _ in range(iterations):
+        t_new = (1.0 + math.sqrt(1.0 + 4.0 * t * t)) / 2.0
+        out.append((t - 1.0) / t_new)
+        t = t_new
+    return out
+
+
+def make_tv_fgp(H: int, W: int, dtype, groups: int = 1, unroll: bool = False):
     """Returns `(gt, fgp)`:
 
     `fgp(xg, lam_tv, iterations)` — the FGP dual loop solving the TV prox
@@ -383,6 +398,13 @@ def make_tv_fgp(H: int, W: int, dtype, groups: int = 1):
     are (G·H, W)); the dual clamp re-zeroes every per-problem boundary
     row (period-H mask), so rolls across a boundary carry exactly zero —
     the same argument as the single-problem last row.
+
+    ``unroll=True`` switches to a statically-unrolled λ-scaled dual loop:
+    the momentum scalars become baked constants (no in-loop θ
+    recurrence/sqrt/divide), the duals carry P = λ·p so the λ multiply
+    disappears from every `gt` application, and iteration 0 (all duals
+    zero) collapses to a single gradient+clip. Identical math up to f32
+    rounding; ~20% fewer VPU ops per dual iteration.
     """
     GH = groups * H
     row = lax.broadcasted_iota(jnp.int32, (GH, W), 0) % H
@@ -403,7 +425,7 @@ def make_tv_fgp(H: int, W: int, dtype, groups: int = 1):
 
     zeros = jnp.zeros((GH, W), dtype)
 
-    def fgp(xg, lam_tv, iterations: int):
+    def fgp_loop(xg, lam_tv, iterations: int):
         lam_safe = jnp.where(lam_tv > 0, lam_tv, 1.0)
         inv8 = 1.0 / (8.0 * lam_safe)
 
@@ -430,4 +452,25 @@ def make_tv_fgp(H: int, W: int, dtype, groups: int = 1):
         )
         return xg - lam_tv * gt(pv, ph)
 
-    return gt, fgp
+    def fgp_unrolled(xg, lam_tv, iterations: int):
+        # λ-scaled duals: P = λ·p ⇒ xtmp = xg − gt(R), clamp at ±λ. The
+        # division 1/(8λ) disappears entirely (λ = 0 clamps the duals to
+        # exactly zero, returning xg — the prox of a zero-strength TV).
+        t2s = _fgp_t2_schedule(iterations)
+        # iteration 0: duals are zero ⇒ xtmp = xg, t2_0 = 0 ⇒ R = Q = P
+        if iterations == 0:
+            return xg
+        pv = jnp.clip(gv(xg) * 0.125, -lam_tv, lam_tv) * not_last_row
+        ph = jnp.clip(gh(xg) * 0.125, -lam_tv, lam_tv) * not_last_col
+        rv, rh = pv, ph
+        for i in range(1, iterations):
+            xtmp = xg - gt(rv, rh)
+            qv = jnp.clip(rv + gv(xtmp) * 0.125, -lam_tv, lam_tv) * not_last_row
+            qh = jnp.clip(rh + gh(xtmp) * 0.125, -lam_tv, lam_tv) * not_last_col
+            t2 = t2s[i]
+            rv = (1.0 + t2) * qv - t2 * pv
+            rh = (1.0 + t2) * qh - t2 * ph
+            pv, ph = qv, qh
+        return xg - gt(pv, ph)
+
+    return gt, (fgp_unrolled if unroll else fgp_loop)

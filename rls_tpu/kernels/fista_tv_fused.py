@@ -16,8 +16,9 @@ Requirements (checked by the `solve_fista_tv_fused` wrapper):
   * operator: `SeparableConvOperator` (banded Gram factors, f32)
   * regularizer: 2-D `TVRegularization` over both axes
   * restart: "none" (any method, f64 momentum table) or "gradient"
-    (FISTA only: in-kernel θ recurrence + one restart dot per iteration,
-    reference FISTA.jl:171-176)
+    (FISTA: in-kernel θ recurrence + one restart dot per iteration,
+    reference FISTA.jl:171-176; POGM: in-kernel θ/σ/γ recurrences + the
+    w-plane restart criterion, reference POGM.jl:189-232)
   * fixed grid; convergence-based early exit (FISTA.jl:187-189 /
     solve_batched done-masking) available as a per-problem freeze mask
     via ``early_exit=True`` — converged problems pass through untouched
@@ -124,6 +125,8 @@ def _kernel(
     gram: str = "stacked",
     restart: bool = False,
     rel_tol: float | None = None,
+    fgp_unroll: bool = False,
+    sigma_fac: float = 1.0,
 ):
     x0hat = x0_ref[0]
     b = pl.program_id(0)
@@ -145,14 +148,16 @@ def _kernel(
         )
     else:
         normal = make_gram_normal(lcat_ref[...], rcat_ref[...], f32)
-    _, fgp_n = make_tv_fgp(H, W, f32)
+    _, fgp_n = make_tv_fgp(H, W, f32, unroll=fgp_unroll)
 
     def fgp(xg, lam_tv):
         return fgp_n(xg, lam_tv, tv_iterations)
 
     if restart or rel_tol is not None:
-        out_ref[0] = _fista_loop_dynamic(
-            normal, fgp, rho, lam, x0hat, iterations, restart, rel_tol
+        dyn = _pogm_loop_dynamic if method == "pogm" else _fista_loop_dynamic
+        out_ref[0] = dyn(
+            normal, fgp, rho, lam, x0hat, iterations, restart, rel_tol,
+            **({"sigma_fac": sigma_fac} if method == "pogm" else {}),
         )
     else:
         out_ref[0] = _pgm_loop(
@@ -206,6 +211,99 @@ def _fista_loop_dynamic(
     return x
 
 
+def _pogm_loop_dynamic(
+    normal,
+    fgp,
+    rho,
+    lam,
+    x0hat,
+    iterations,
+    restart,
+    rel_tol,
+    sigma_fac=1.0,
+    theta0=1.0,
+):
+    """POGM loop with the data-dependent pieces in-kernel: f32 θ/σ/γ
+    recurrences, the gradient-restart criterion on the running w plane
+    (reference POGM.jl:222-232: Re((⟨w,x⟩−⟨w,z⟩)/γ − ⟨w,res⟩) < 0 ⇒
+    θ ← 1, σ ← 1; else σ ← σ·σ_fac), the restart-mode γ = ρ(1+α+β)
+    (POGM.jl:198-202) and the final-iteration √(1+8θ²) variant, plus the
+    optional per-problem convergence freeze (same masking as
+    `_fista_loop_dynamic`). Semantics mirror pogm.py step() exactly."""
+    f32 = x0hat.dtype
+    early = rel_tol is not None
+    norm_x0 = jnp.sqrt(jnp.sum(x0hat * x0hat)) if early else None
+    one = jnp.asarray(1.0, f32)
+
+    def body(i, carry):
+        x, y, z, w, th_in, sig, gam_old, done = carry
+        x_old = x
+        res = normal(x) - x0hat
+        xg = x - rho * res
+        th_old = th_in
+        last = i == iterations - 1
+        if restart:
+            # the last-iteration 8θ² variant only applies with restart on
+            # (POGM.jl:190-194)
+            th = jnp.where(
+                last,
+                (1.0 + jnp.sqrt(1.0 + 8.0 * th_old * th_old)) / 2.0,
+                (1.0 + jnp.sqrt(1.0 + 4.0 * th_old * th_old)) / 2.0,
+            )
+        else:
+            th = (1.0 + jnp.sqrt(1.0 + 4.0 * th_old * th_old)) / 2.0
+        alpha = (th_old - 1.0) / th
+        beta = sig * th_old / th
+        if restart:
+            gam = rho * (1.0 + alpha + beta)
+        else:
+            gam = rho * (2.0 * th_old + th - 1.0) / th
+        y_old = y
+        y_new = xg
+        x_mid = (
+            (1.0 + alpha + beta) * y_new
+            - alpha * y_old
+            - (beta + rho * alpha / gam_old) * x_old
+            + (rho * alpha / gam_old) * z
+        )
+        z_new = x_mid
+        x_new = fgp(x_mid, gam * lam)
+        w_new = w
+        sig_new = sig
+        if restart:
+            w_mid = w + y_new + (rho / gam) * (x_new - z_new)
+            crit = (
+                jnp.sum(w_mid * x_new) - jnp.sum(w_mid * z_new)
+            ) / gam - jnp.sum(w_mid * res)
+            fire = crit < 0.0
+            sig_new = jnp.where(fire, one, sig * sigma_fac)
+            th = jnp.where(fire, one, th)
+            w_new = (rho / gam) * (z_new - x_new) - y_new
+        if early:
+            rel = jnp.sqrt(jnp.sum(res * res)) / norm_x0
+            keep = done  # freeze AFTER the step that detected convergence
+            done = jnp.maximum(done, (rel < rel_tol).astype(f32))
+            live = 1.0 - keep
+            x_new = x + live * (x_new - x)
+            y_new = y + live * (y_new - y)
+            z_new = z + live * (z_new - z)
+            w_new = w + live * (w_new - w)
+            th = th_in + live * (th - th_in)
+            sig_new = sig + live * (sig_new - sig)
+            gam = gam_old + live * (gam - gam_old)
+        return (x_new, y_new, z_new, w_new, th, sig_new, gam, done)
+
+    x_init = x0hat * 0.0
+    th_i = jnp.asarray(theta0, f32)
+    x, *_ = lax.fori_loop(
+        0,
+        iterations,
+        body,
+        (x_init, x_init, x_init, x_init, th_i, one, one, jnp.asarray(0.0, f32)),
+    )
+    return x
+
+
 def _pgm_loop(normal, fgp, tab_ref, rho, lam, x0hat, iterations, method):
     """Table-driven proximal-gradient loop shared by the per-problem and
     grouped kernels. carry = (x, m1, m2); m1/m2 are x_prev (FISTA) or
@@ -253,22 +351,29 @@ def _pgm_loop(normal, fgp, tab_ref, rho, lam, x0hat, iterations, method):
 def _kernel_grouped(
     scal_ref,  # SMEM (B, 2): per-problem [rho, lam_eff]
     tab_ref,  # SMEM (iterations, 4)
-    x0_ref,  # VMEM (G, H, W): AᴴB for this grid step's G problems
-    out_ref,  # VMEM (G, H, W)
-    *,
+    *refs,  # stencil: (x0, out); noconcat: (lcat, rcat, x0, out)
     iterations: int,
     tv_iterations: int,
     method: str,
-    taps: tuple,
+    taps: tuple | None,
     group: int,
+    gram: str = "stencil",
     restart: bool = False,
     rel_tol: float | None = None,
+    fgp_unroll: bool = False,
+    sigma_fac: float = 1.0,
 ):
     """G problems per grid step, stacked along the row axis: every
     elementwise/roll op is G× larger, amortizing the per-op issue
-    overhead that bounds the per-problem kernel. Stencil Gram only
-    (the matmul grams would need block-diagonal factors)."""
+    overhead that bounds the per-problem kernel. Gram: the factor-free
+    VPU stencil, or the compensated-MXU noconcat sandwich applied per
+    row-slice (the matmuls stay per-problem; only the VPU-bound
+    dual/momentum chain runs grouped)."""
     G = group
+    if gram == "stencil":
+        x0_ref, out_ref = refs
+    else:
+        lcat_ref, rcat_ref, x0_ref, out_ref = refs
     _, H, W = x0_ref.shape
     x0hat = x0_ref[...].reshape(G * H, W)
     f32 = x0hat.dtype
@@ -290,10 +395,26 @@ def _kernel_grouped(
             rho = r_g if rho is None else rho + r_g
             lam = l_g if lam is None else lam + l_g
 
-    normal = make_sepconv_normal_stencil(
-        taps[0], taps[1], H, W, f32, groups=G
-    )
-    _, fgp_n = make_tv_fgp(H, W, f32, groups=G)
+    if gram == "stencil":
+        normal = make_sepconv_normal_stencil(
+            taps[0], taps[1], H, W, f32, groups=G
+        )
+    else:
+        lcat = lcat_ref[...]
+        rcat = rcat_ref[...]
+        l2 = jnp.concatenate([lcat[:, :H], lcat[:, 2 * H :]], axis=0)
+        r2 = jnp.concatenate([rcat[:W], rcat[2 * W :]], axis=1)
+        base = make_gram_normal_noconcat(l2, lcat[:, :H], r2, rcat[:W], f32)
+        if G == 1:
+            normal = base
+        else:
+
+            def normal(u):  # per-problem matmul slices, restacked
+                return jnp.concatenate(
+                    [base(u[g * H : (g + 1) * H]) for g in range(G)], axis=0
+                )
+
+    _, fgp_n = make_tv_fgp(H, W, f32, groups=G, unroll=fgp_unroll)
 
     def fgp(xg, lam_tv):
         return fgp_n(xg, lam_tv, tv_iterations)
@@ -301,8 +422,10 @@ def _kernel_grouped(
     if restart or rel_tol is not None:
         # whole-plane reductions: only valid per problem, i.e. G == 1
         # (enforced by fista_tv_fused)
-        x = _fista_loop_dynamic(
-            normal, fgp, rho, lam, x0hat, iterations, restart, rel_tol
+        dyn = _pogm_loop_dynamic if method == "pogm" else _fista_loop_dynamic
+        x = dyn(
+            normal, fgp, rho, lam, x0hat, iterations, restart, rel_tol,
+            **({"sigma_fac": sigma_fac} if method == "pogm" else {}),
         )
     else:
         x = _pgm_loop(
@@ -326,10 +449,14 @@ def fista_tv_fused(
     group: int = 1,
     restart: bool = False,
     rel_tol: float | None = None,
+    fgp_unroll: bool = False,
+    sigma_fac: float = 1.0,
 ):
     B, H, W = x0hat_b.shape
-    if (restart or rel_tol is not None) and method != "fista":
-        raise ValueError("restart/early-exit are FISTA-only in the fused path")
+    if (restart or rel_tol is not None) and method not in ("fista", "pogm"):
+        raise ValueError(
+            "restart/early-exit are FISTA/POGM-only in the fused path"
+        )
     if (restart or rel_tol is not None) and group > 1:
         raise ValueError(
             "restart/early-exit need per-problem reductions; group must be 1"
@@ -345,14 +472,28 @@ def fista_tv_fused(
     # validation BEFORE the guard: clear errors beat a misleading VMEM one
     if gram == "stencil" and taps is None:
         raise ValueError("gram='stencil' requires taps")
-    if group > 1 and gram != "stencil":
-        raise ValueError("group > 1 requires gram='stencil' with taps")
+    if group > 1 and gram not in ("stencil", "noconcat"):
+        raise ValueError("group > 1 requires gram='stencil' or 'noconcat'")
     if B % group:
         raise ValueError(f"batch {B} not divisible by group {group}")
-    _check_vmem_pgm_tv(H * group, W, gram)
-    if gram == "stencil":
-        # always the factor-free grouped kernel (group may be 1): the
-        # stencil needs no lcat/rcat inputs, so this path never DMAs them
+    _check_vmem_pgm_tv(H * group, W, gram, im_h=H)
+    if gram == "stencil" or (gram == "noconcat" and group > 1):
+        # the grouped kernel (group may be 1): the stencil needs no
+        # lcat/rcat inputs, so that path never DMAs them; the noconcat
+        # variant DMAs the factor blocks once per grid step
+        factor_args = () if gram == "stencil" else (lcat, rcat)
+        factor_specs = (
+            []
+            if gram == "stencil"
+            else [
+                pl.BlockSpec(
+                    (H, 3 * H), lambda b: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (3 * W, W), lambda b: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ]
+        )
         return pl.pallas_call(
             functools.partial(
                 _kernel_grouped,
@@ -361,13 +502,17 @@ def fista_tv_fused(
                 method=method,
                 taps=taps,
                 group=group,
+                gram=gram,
                 restart=restart,
                 rel_tol=rel_tol,
+                fgp_unroll=fgp_unroll,
+                sigma_fac=sigma_fac,
             ),
             grid=(B // group,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                *factor_specs,
                 pl.BlockSpec(
                     (group, H, W), lambda b: (b, 0, 0),
                     memory_space=pltpu.VMEM,
@@ -378,7 +523,7 @@ def fista_tv_fused(
             ),
             out_shape=jax.ShapeDtypeStruct((B, H, W), x0hat_b.dtype),
             interpret=interpret,
-        )(scal, tab, x0hat_b)
+        )(scal, tab, *factor_args, x0hat_b)
     return pl.pallas_call(
         functools.partial(
             _kernel,
@@ -388,6 +533,8 @@ def fista_tv_fused(
             gram=gram,
             restart=restart,
             rel_tol=rel_tol,
+            fgp_unroll=fgp_unroll,
+            sigma_fac=sigma_fac,
         ),
         grid=(B,),
         in_specs=[
@@ -462,11 +609,19 @@ def check_pgm_tv_fused(solver):
     solver_restart = getattr(solver, "restart", "none")
     if solver_restart not in ("none", "gradient"):
         raise ValueError(f"fused path does not support restart={solver_restart!r}")
-    if solver_restart == "gradient" and method != "fista":
+    if solver_restart == "gradient" and method not in ("fista", "pogm"):
         raise ValueError(
-            "fused gradient restart is implemented for FISTA only "
-            "(reference FISTA.jl:171-176); use the composed path"
+            "fused gradient restart is implemented for FISTA "
+            "(reference FISTA.jl:171-176) and POGM (POGM.jl:222-232) "
+            "only; use the composed path"
         )
+    if method == "pogm":
+        sigma_fac = getattr(solver, "sigma_fac", 1.0)
+        if isinstance(sigma_fac, jax.core.Tracer):
+            raise ValueError(
+                "fused POGM needs a concrete solver.sigma_fac; close the "
+                "solver over jax.jit instead of passing it as a jit argument"
+            )
     theta0 = getattr(solver, "theta", 1.0)
     if isinstance(theta0, jax.core.Tracer):
         # the momentum table is built host-side from theta — a traced theta
@@ -484,16 +639,19 @@ def check_pgm_tv_fused(solver):
     return method
 
 
-def _check_vmem_pgm_tv(H, W, gram: str = "stacked"):
+def _check_vmem_pgm_tv(H, W, gram: str = "stacked", im_h: int | None = None):
     # VMEM guard: live set ≈ x, x_old, x0hat, momentum/residual temps, 4 TV
     # duals + 2 stacked concat temps (3×) + the two Gram factor blocks.
     # The stencil path carries no factor blocks and no concat temps, but
     # its loop carries + FGP duals + stencil temps still measure ~18
     # planes (empirical: 384² and 256²-G2 compile, 512² and 256²-G4 OOM).
+    # `H` is the total (grouped) row extent; `im_h` the per-problem image
+    # height for the factor-block terms (defaults to H).
+    fh = H if im_h is None else im_h
     if gram == "stencil":
         vmem_bytes = 18 * H * W * 4
     else:
-        vmem_bytes = (12 * H * W + 2 * 3 * H * W + 3 * H * H + 3 * W * W) * 4
+        vmem_bytes = (12 * H * W + 2 * 3 * H * W + 3 * fh * fh + 3 * W * W) * 4
     # 16 MiB: the TPU scoped-VMEM budget (verified empirically — the
     # fused FISTA-TV kernel compiles at 384^2, Mosaic OOMs at 512^2)
     if vmem_bytes > 16 * 1024 * 1024:
@@ -510,9 +668,9 @@ def solve_pgm_tv_fused(
     solver is FISTA / OptISTA / POGM + SeparableConvOperator + 2-D TV (the
     flagship bench shape). Returns the n×K solution matrix like the
     composed driver. ``solver.restart == "gradient"`` rides the in-kernel
-    restart loop (FISTA only). With ``early_exit=True`` (and a concrete
-    ``solver.rel_tol > 0``) converged problems freeze in-kernel — the
-    `solve_batched` done-masking semantics on the fixed grid.
+    restart loop (FISTA and POGM). With ``early_exit=True`` (and a
+    concrete ``solver.rel_tol > 0``) converged problems freeze in-kernel —
+    the `solve_batched` done-masking semantics on the fixed grid.
 
     Assumptions are *checked*, not silently ignored — callers get a
     ValueError naming the unsupported piece.
@@ -521,8 +679,8 @@ def solve_pgm_tv_fused(
     restart = getattr(solver, "restart", "none") == "gradient"
     rel_tol = None
     if early_exit:
-        if method != "fista":
-            raise ValueError("early_exit is FISTA-only in the fused path")
+        if method not in ("fista", "pogm"):
+            raise ValueError("early_exit is FISTA/POGM-only in the fused path")
         if solver.rel_tol is None or isinstance(solver.rel_tol, jax.core.Tracer):
             raise ValueError("early_exit needs a concrete solver.rel_tol")
         rel_tol = float(solver.rel_tol)
@@ -537,6 +695,7 @@ def solve_pgm_tv_fused(
         return _solve_pgm_tv_fused_stencil(
             solver, B_mat, interpret, method, restart, rel_tol
         )
+    sigma_fac = float(getattr(solver, "sigma_fac", 1.0))
     op = solver.AHA.A
     reg = solver.reg
     H, W = op.im_shape
@@ -570,6 +729,7 @@ def solve_pgm_tv_fused(
         gram=gram,
         restart=restart,
         rel_tol=rel_tol,
+        sigma_fac=sigma_fac,
     )
     return out.reshape(out.shape[0], H * W).T
 
@@ -580,6 +740,7 @@ def _solve_pgm_tv_fused_stencil(
     """Stencil-gram variant of the fused solve (see solve_pgm_tv_fused):
     exact f32 VPU stencils instead of the compensated MXU matmuls — used
     for images whose width is not 128-aligned."""
+    sigma_fac = float(getattr(solver, "sigma_fac", 1.0))
     op = solver.AHA.A
     reg = solver.reg
     H, W = op.im_shape
@@ -610,5 +771,6 @@ def _solve_pgm_tv_fused_stencil(
         taps=taps,
         restart=restart,
         rel_tol=rel_tol,
+        sigma_fac=sigma_fac,
     )
     return out.reshape(out.shape[0], H * W).T

@@ -482,6 +482,53 @@ def test_gram_stencil_grouped_matches(rng):
         assert np.linalg.norm(a - b) / np.linalg.norm(a) < 1e-5, G
 
 
+def test_fgp_unroll_and_grouped_noconcat_match(rng):
+    """The statically-unrolled λ-scaled FGP dual loop and the grouped
+    noconcat-MXU Gram must match the default fori/per-problem kernel."""
+    from rls_tpu.kernels.fista_tv_fused import fista_tv_fused
+
+    n, B = 24, 4
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    lcat, rcat = op.cat["normal"]
+    x0 = jnp.asarray(rng.normal(size=(B, n, n)), jnp.float32)
+    rho = jnp.asarray([0.9, 0.8, 0.95, 0.85], jnp.float32)
+    lam = jnp.asarray([1e-3, 2e-3, 5e-4, 3e-3], jnp.float32)
+    a = np.asarray(fista_tv_fused(x0, lcat, rcat, rho, lam, 5, 4,
+                                  interpret=True))
+    for kw in (
+        dict(fgp_unroll=True),
+        dict(gram="noconcat", group=2),
+        dict(gram="noconcat", group=2, fgp_unroll=True),
+        dict(gram="stencil", taps=op.taps_hw(), group=2, fgp_unroll=True),
+    ):
+        b = np.asarray(fista_tv_fused(
+            x0, lcat, rcat, rho, lam, 5, 4, interpret=True, **kw))
+        assert np.linalg.norm(a - b) / np.linalg.norm(a) < 1e-5, kw
+
+
+def test_fgp_unroll_zero_lambda_matches_fori(rng):
+    """λ_tv = 0 clamps the λ-scaled duals to zero — the unrolled kernel
+    must agree with the default loop (which guards 1/λ) exactly there."""
+    from rls_tpu.kernels.fista_tv_fused import fista_tv_fused
+
+    n, B = 16, 2
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    lcat, rcat = op.cat["normal"]
+    x0 = jnp.asarray(rng.normal(size=(B, n, n)), jnp.float32)
+    lam = jnp.zeros((B,), jnp.float32)
+    a = np.asarray(fista_tv_fused(x0, lcat, rcat, 0.9, lam, 5, 4,
+                                  interpret=True))
+    b = np.asarray(fista_tv_fused(x0, lcat, rcat, 0.9, lam, 5, 4,
+                                  interpret=True, fgp_unroll=True))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+
+
 def test_sepconv_stencil_normal_exact(rng):
     """The VPU stencil Gram equals the banded-matmul Gram (f64 truth),
     boundaries included — asymmetric and even-length taps."""
@@ -565,20 +612,78 @@ def test_fista_tv_fused_early_exit_matches_solve_batched(rng):
     assert np.abs(full - got).max() > 1e-6
 
 
-def test_fused_restart_rejects_non_fista(rng):
+def test_pogm_tv_fused_gradient_restart_matches_composed(rng):
+    """POGM restart="gradient" rides the in-kernel θ/σ/γ recurrences and
+    the w-plane restart criterion (reference POGM.jl:189-232) and must
+    reproduce the composed unrolled trajectory — including σ decrease
+    (sigma_fac < 1) between restarts."""
     from rls_tpu.kernels import solve_pgm_tv_fused
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    n, batch = 24, 3
+    mild = np.array([0.1, 1.0, 0.1])
+    kern = np.outer(mild, mild)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=5, unroll=True)
+    X = jnp.asarray(rng.normal(size=(batch, n * n)), jnp.float32)
+    B = jax.vmap(op.mv)(X).T
+    solver = rt.create_linear_solver(
+        "POGM", op, reg=reg, iterations=12, rho=0.95, restart="gradient",
+        sigma_fac=0.9, kwarg_warning=False,
+    )
+    want = np.asarray(jax.jit(solve_batched_unrolled)(solver, B))
+    got = np.asarray(solve_pgm_tv_fused(solver, B))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+    # the restart machinery must actually matter on this problem: the
+    # no-restart table schedule gives a visibly different answer
+    base = rt.create_linear_solver(
+        "POGM", op, reg=reg, iterations=12, rho=0.95, kwarg_warning=False
+    )
+    plain = np.asarray(solve_pgm_tv_fused(base, B))
+    assert np.abs(plain - got).max() > 1e-5
+
+
+def test_pogm_tv_fused_early_exit_matches_solve_batched(rng):
+    """POGM early_exit=True freezes converged problems in-kernel —
+    matching solve_batched's done-masked while loop (POGM.done)."""
+    from rls_tpu.kernels import solve_pgm_tv_fused
+    from rls_tpu.models.solvers import solve_batched
+
+    n, batch = 24, 3
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=5, unroll=True)
+    X = jnp.asarray(rng.normal(size=(batch, n * n)), jnp.float32)
+    B = jax.vmap(op.mv)(X).T
+    solver = rt.create_linear_solver(
+        "POGM", op, reg=reg, iterations=15, rho=0.9, rel_tol=0.35,
+        kwarg_warning=False,
+    )
+    want = np.asarray(jax.jit(solve_batched)(solver, B))
+    got = np.asarray(solve_pgm_tv_fused(solver, B, early_exit=True))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+    full = np.asarray(solve_pgm_tv_fused(solver, B))
+    assert np.abs(full - got).max() > 1e-6
+
+
+def test_fused_restart_rejects_optista(rng):
+    """OptISTA has no restart scheme (matching the reference, which only
+    implements it for FISTA/POGM) — the kernel wrapper must reject the
+    combination rather than silently running the table schedule."""
+    from rls_tpu.kernels.fista_tv_fused import fista_tv_fused
 
     n = 16
     g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
     kern = np.outer(g, g) / np.outer(g, g).sum()
     op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
-    reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=3, unroll=True)
-    s = rt.create_linear_solver(
-        "POGM", op, reg=reg, iterations=3, rho=0.9, restart="gradient",
-        kwarg_warning=False,
-    )
+    lcat, rcat = op.cat["normal"]
+    x0 = jnp.zeros((2, n, n), jnp.float32)
     with pytest.raises(ValueError, match="restart"):
-        solve_pgm_tv_fused(s, jnp.zeros((n * n, 2), jnp.float32))
+        fista_tv_fused(x0, lcat, rcat, 0.9, 1e-3, 3, 3, interpret=True,
+                       method="optista", restart=True)
 
 
 def test_fista_tv_tiled_matches_composed(rng):
