@@ -23,7 +23,10 @@ of the iterate through HBM:
     kernel — tiling adds halo recompute, not approximation.
 
 HBM traffic per iteration: 3 window reads + 1 interior write per tile
-(~4× the image) — far below the VPU-bound FGP loop's compute time.
+(~4× the image) — far below the VPU-bound FGP loop's compute time. The
+window reads for tile t+1 are PREFETCHED during tile t's compute
+(dedicated landing buffers, copied into the compute buffers on arrival),
+so only each iteration's first tile pays DMA latency.
 Semantics mirror FISTA.step + prox_tv_fgp (reference
 /root/reference/src/FISTA.jl:139-185, ProxTV.jl:89-125), fixed-iteration
 schedule from the same f64 momentum table as the monolithic kernel.
@@ -58,10 +61,13 @@ def _kernel(
     x0_hbm,  # ANY (P, H + 2·halo, W): AᴴB, zero-padded by halo rows
     out_ref,  # VMEM (1, TR, W) solution tile (revisited; last write wins)
     xbuf_hbm,  # ANY (3, H + 2·halo, W): rotating x_{i-1}/x_i/x_{i+1}
-    x0_s,  # VMEM scratch (TRH, W)
+    x0_s,  # VMEM scratch (TRH, W): compute buffers
     xi_s,  # VMEM scratch (TRH, W)
     xm_s,  # VMEM scratch (TRH, W)
     xn_s,  # VMEM scratch (TRH, W)
+    p0_s,  # VMEM scratch (TRH, W): prefetch landing buffers (tile t+1)
+    pi_s,  # VMEM scratch (TRH, W)
+    pm_s,  # VMEM scratch (TRH, W)
     sems,  # DMA semaphores (4,)
     *,
     H: int,
@@ -74,6 +80,7 @@ def _kernel(
     p = pl.program_id(0)
     i = pl.program_id(1)
     t = pl.program_id(2)
+    T = pl.num_programs(2)
     TRH = TR + 2 * halo
     f32 = x0_s.dtype
 
@@ -84,6 +91,15 @@ def _kernel(
     # image row t·TR − halo + j; the pad rows are zeroed once below so
     # edge windows read exact zeros (garbage could be NaN, and NaN·0
     # would leak through the masks).
+    #
+    # DMA schedule: tile t's windows are PREFETCHED into p*_s during tile
+    # t−1's compute (reads ride chans 0-2, started after the previous
+    # copy-out so each chan is strictly start→wait→start…). Step t waits
+    # the prefetch, copies p*_s → compute buffers (VMEM-to-VMEM, ~µs),
+    # then immediately issues tile t+1's prefetch so the DMAs overlap the
+    # VPU-bound FGP compute. Prefetch never crosses an iteration boundary
+    # (tile 0 of iteration i+1 would read buffer nxt while iteration i is
+    # still writing it), so iterations cold-start their first tile.
     row0 = t * TR  # padded coords
     row0_img = t * TR - halo  # global image coords for the mask factories
 
@@ -103,25 +119,65 @@ def _kernel(
                     sems.at[3],
                 ).wait()
 
-    cp0 = pltpu.make_async_copy(
-        x0_hbm.at[p, pl.ds(row0, TRH), :], x0_s, sems.at[0]
-    )
-    cp0.start()
     cur = i % 3
     prev = (i - 1) % 3
     nxt = (i + 1) % 3
 
-    @pl.when(i > 0)
-    def _read_x():
-        pltpu.make_async_copy(
-            xbuf_hbm.at[cur, pl.ds(row0, TRH), :], xi_s, sems.at[1]
-        ).start()
+    def reads(tt, dst0, dsti, dstm):
+        """The (up to 3) window copies for tile `tt` into the given
+        landing buffers — x_{i-1} only exists for i > 1, x_i for i > 0."""
+        r = tt * TR
+        return (
+            pltpu.make_async_copy(
+                x0_hbm.at[p, pl.ds(r, TRH), :], dst0, sems.at[0]
+            ),
+            pltpu.make_async_copy(
+                xbuf_hbm.at[cur, pl.ds(r, TRH), :], dsti, sems.at[1]
+            ),
+            pltpu.make_async_copy(
+                xbuf_hbm.at[prev, pl.ds(r, TRH), :], dstm, sems.at[2]
+            ),
+        )
 
-    @pl.when(i > 1)
-    def _read_xm():
-        pltpu.make_async_copy(
-            xbuf_hbm.at[prev, pl.ds(row0, TRH), :], xm_s, sems.at[2]
-        ).start()
+    def start_reads(tt, dst0, dsti, dstm):
+        c0, ci, cm = reads(tt, dst0, dsti, dstm)
+        c0.start()
+
+        @pl.when(i > 0)
+        def _():
+            ci.start()
+
+        @pl.when(i > 1)
+        def _():
+            cm.start()
+
+    def wait_reads(tt, dst0, dsti, dstm):
+        c0, ci, cm = reads(tt, dst0, dsti, dstm)
+        c0.wait()
+
+        @pl.when(i > 0)
+        def _():
+            ci.wait()
+
+        @pl.when(i > 1)
+        def _():
+            cm.wait()
+
+    @pl.when(t == 0)  # iteration cold start: fetch tile 0 directly
+    def _cold():
+        start_reads(t, x0_s, xi_s, xm_s)
+        wait_reads(t, x0_s, xi_s, xm_s)
+
+    @pl.when(t > 0)  # tile t was prefetched during t−1's compute
+    def _landed():
+        wait_reads(t, p0_s, pi_s, pm_s)
+        x0_s[...] = p0_s[...]
+        xi_s[...] = pi_s[...]
+        xm_s[...] = pm_s[...]
+
+    @pl.when(t + 1 < T)  # overlap tile t+1's DMAs with this compute
+    def _prefetch():
+        start_reads(t + 1, p0_s, pi_s, pm_s)
 
     @pl.when(i == 0)
     def _zero_x():
@@ -130,20 +186,6 @@ def _kernel(
     @pl.when(i <= 1)  # x_{-1} = x_0 = 0
     def _zero_xm():
         xm_s[...] = jnp.zeros((TRH, W), f32)
-
-    cp0.wait()
-
-    @pl.when(i > 0)
-    def _wait_x():
-        pltpu.make_async_copy(
-            xbuf_hbm.at[cur, pl.ds(row0, TRH), :], xi_s, sems.at[1]
-        ).wait()
-
-    @pl.when(i > 1)
-    def _wait_xm():
-        pltpu.make_async_copy(
-            xbuf_hbm.at[prev, pl.ds(row0, TRH), :], xm_s, sems.at[2]
-        ).wait()
 
     rho = scal_ref[p, 0]
     lam = scal_ref[p, 1]
@@ -249,9 +291,9 @@ def pick_tile_rows_vmem(
 
 
 def pick_tile_rows(H: int, W: int, halo: int, vmem_budget: int | None = None):
-    """Largest 8-multiple divisor of H whose ~16-plane working set fits
-    the scoped-VMEM budget (planes: 4 scratch windows + FGP/stencil
-    temps, empirical)."""
+    """Largest 8-multiple divisor of H whose ~19-plane working set fits
+    the scoped-VMEM budget (planes: 4 compute + 3 prefetch scratch
+    windows + FGP/stencil temps, empirical)."""
     budget = vmem_budget if vmem_budget is not None else 14 * 1024 * 1024
     best = None
     for tr in range(8, H // 2 + 1, 8):
@@ -260,7 +302,7 @@ def pick_tile_rows(H: int, W: int, halo: int, vmem_budget: int | None = None):
         trh = tr + 2 * halo
         if trh > H:
             continue
-        if 16 * trh * W * 4 <= budget:
+        if 19 * trh * W * 4 <= budget:
             best = tr
     return best
 
@@ -383,6 +425,9 @@ def fista_tv_tiled(
             jax.ShapeDtypeStruct((3, H + 2 * halo, W), x0hat_b.dtype),
         ),
         scratch_shapes=[
+            pltpu.VMEM((TRH, W), jnp.float32),
+            pltpu.VMEM((TRH, W), jnp.float32),
+            pltpu.VMEM((TRH, W), jnp.float32),
             pltpu.VMEM((TRH, W), jnp.float32),
             pltpu.VMEM((TRH, W), jnp.float32),
             pltpu.VMEM((TRH, W), jnp.float32),

@@ -37,15 +37,24 @@ taps = op.taps_hw()
 dummy = jnp.zeros((1, 1), jnp.float32)
 interp = jax.default_backend() == "cpu"
 
+# cheapest-to-compile first (fori variants ride the committed cache);
+# pass variant names as argv to run a subset — each cold compile is
+# slow, so one-variant runs survive tunnel hiccups (results accumulate
+# in the persistent compile cache either way)
 VARIANTS = [
-    ("noconcat_g2_unroll", dict(gram="noconcat", group=2, fgp_unroll=True)),
-    ("stencil_g2_unroll", dict(gram="stencil", group=2, fgp_unroll=True)),
+    ("noconcat_g1_fori", dict(gram="noconcat", group=1, fgp_unroll=False)),
+    ("stencil_g2_fori", dict(gram="stencil", group=2, fgp_unroll=False)),
     ("noconcat_g1_unroll", dict(gram="noconcat", group=1, fgp_unroll=True)),
     ("stencil_g1_unroll", dict(gram="stencil", group=1, fgp_unroll=True)),
-    ("noconcat_g1_fori", dict(gram="noconcat", group=1, fgp_unroll=False)),
-    ("noconcat_g2_unroll_2", dict(gram="noconcat", group=2, fgp_unroll=True)),
-    ("stencil_g2_unroll_2", dict(gram="stencil", group=2, fgp_unroll=True)),
+    ("stencil_g2_unroll", dict(gram="stencil", group=2, fgp_unroll=True)),
+    ("noconcat_g2_unroll", dict(gram="noconcat", group=2, fgp_unroll=True)),
 ]
+if len(sys.argv) > 1:
+    sel = set(sys.argv[1:])
+    unknown = sel - {n for n, _ in VARIANTS}
+    if unknown:
+        raise SystemExit(f"unknown variants: {sorted(unknown)}")
+    VARIANTS = [(n, c) for n, c in VARIANTS if n in sel]
 
 
 def make_fn(cfg):
@@ -63,7 +72,9 @@ def make_fn(cfg):
     return jax.jit(f)
 
 
-ref_out = None
+# cross-run numerics reference (first variant ever run writes it)
+REF_PATH = "/tmp/ab_fgp_ref.npy"
+ref_out = np.load(REF_PATH) if os.path.exists(REF_PATH) else None
 for name, cfg in VARIANTS:
     try:
         f = make_fn(cfg)
@@ -73,6 +84,7 @@ for name, cfg in VARIANTS:
         assert np.isfinite(out).all()
         if ref_out is None:
             ref_out = out
+            np.save(REF_PATH, out)
             rel = 0.0
         else:
             rel = float(
