@@ -272,15 +272,100 @@ def _kernel_vmem(
     out_ref[0] = xn_s[...]
 
 
-def pick_tile_rows_vmem(
-    H: int, W: int, halo: int, vmem_budget: int | None = None
+def _kernel_vmem_pgm(
+    scal_ref,  # SMEM (P, 2)
+    tab_ref,  # SMEM (iterations, 4): full momentum table (_momentum_table)
+    x0_ref,  # VMEM (1, H, W)
+    out_ref,  # VMEM (1, H, W)
+    x_s,  # VMEM scratch (H, W): x_i
+    y_s,  # VMEM scratch (H, W): y_i (OptISTA) / y_i (POGM)
+    z_s,  # VMEM scratch (H, W): z_i
+    xn_s,  # VMEM scratch (H, W): assemblies for the next iterates
+    yn_s,  # VMEM scratch (H, W)
+    zn_s,  # VMEM scratch (H, W)
+    *,
+    H: int,
+    W: int,
+    TR: int,
+    halo: int,
+    taps: tuple,
+    tv_iterations: int,
+    method: str,
 ):
-    """Largest 8-multiple divisor of H for the VMEM-carry variant: 3
+    """OptISTA/POGM VMEM-carry tiled variant: like `_kernel_vmem` but
+    with the (x, y, z) carry triple of the table-driven PGM family
+    (fista_tv_fused._pgm_loop semantics, reference OptISTA.jl:145-176 /
+    POGM.jl:189-213 without restart). Every step of both methods is
+    window-local given the halo cone (one normal-op stencil + one FGP
+    chain per iteration — the same cone as FISTA), so the tiling stays
+    exact. grid = (problems, iterations)."""
+    p = pl.program_id(0)
+    i = pl.program_id(1)
+    f32 = x_s.dtype
+
+    @pl.when(i == 0)
+    def _init():
+        x_s[...] = jnp.zeros((H, W), f32)
+        y_s[...] = jnp.zeros((H, W), f32)
+        z_s[...] = jnp.zeros((H, W), f32)
+
+    rho = scal_ref[p, 0]
+    lam = scal_ref[p, 1]
+    a = tab_ref[i, 0]
+    bcoef = tab_ref[i, 1]
+    g = tab_ref[i, 2]
+    e = tab_ref[i, 3]
+    T = H // TR
+
+    for t in range(T):
+        lo = max(0, t * TR - halo)
+        hi = min(H, (t + 1) * TR + halo)
+        n_rows = hi - lo
+        off = t * TR - lo  # interior start within the window (static)
+        normal = make_sepconv_normal_stencil_window(
+            taps[0], taps[1], H, W, n_rows, lo, f32
+        )
+        _, fgp = make_tv_fgp_window(H, W, n_rows, lo, f32)
+        x = x_s[lo:hi, :]
+        y = y_s[lo:hi, :]
+        z = z_s[lo:hi, :]
+        res = normal(x) - x0_ref[0, lo:hi, :]
+        if method == "optista":
+            y_new = fgp(y - (rho * g) * res, (rho * g) * lam, tv_iterations)
+            z_new = x + (y_new - y) * e
+            x_new = (1.0 + a + bcoef) * z_new - a * z - bcoef * x
+        else:  # pogm (restart="none", σ = 1)
+            y_new = x - rho * res
+            x_mid = (
+                (1.0 + a + bcoef) * y_new - a * y - (bcoef + e) * x + e * z
+            )
+            x_new = fgp(x_mid, (rho * g) * lam, tv_iterations)
+            z_new = x_mid
+        sl = slice(t * TR, (t + 1) * TR)
+        win = slice(off, off + TR)
+        xn_s[sl, :] = x_new[win, :]
+        yn_s[sl, :] = y_new[win, :]
+        zn_s[sl, :] = z_new[win, :]
+
+    x_s[...] = xn_s[...]
+    y_s[...] = yn_s[...]
+    z_s[...] = zn_s[...]
+    out_ref[0] = xn_s[...]
+
+
+def pick_tile_rows_vmem(
+    H: int, W: int, halo: int, vmem_budget: int | None = None,
+    method: str = "fista",
+):
+    """Largest 8-multiple divisor of H for the VMEM-carry variant:
     full-image scratches + x0/out blocks + ~12 tile-sized temp planes
-    must fit the budget. Returns None when even the smallest tile
-    doesn't fit (fall back to the HBM-streamed variant)."""
+    must fit the budget. FISTA carries 3 full-image scratches (x, x_prev,
+    x_next); OptISTA/POGM carry (x, y, z) plus 3 assembly planes.
+    Returns None when even the smallest tile doesn't fit (fall back to
+    the HBM-streamed variant)."""
     budget = vmem_budget if vmem_budget is not None else 14 * 1024 * 1024
-    fixed = 5 * H * W * 4  # xc, xm, xn, x0 block, out block
+    planes = 5 if method == "fista" else 8
+    fixed = planes * H * W * 4  # carries + assemblies + x0 block + out block
     best = None
     for tr in range(8, H + 1, 8):
         if H % tr:
@@ -317,6 +402,7 @@ def fista_tv_tiled(
     tile_rows: int | None = None,
     interpret: bool = False,
     mode: str = "auto",
+    method: str = "fista",
 ):
     P, H, W = x0hat_b.shape
     kh = len(taps[0])
@@ -324,6 +410,13 @@ def fista_tv_tiled(
     halo = -(-cone // 8) * 8
     if H % 8:
         raise ValueError(f"tiled path needs H % 8 == 0, got {H}")
+    if method not in ("fista", "optista", "pogm"):
+        raise ValueError(f"unknown method {method!r}")
+    if method != "fista" and mode == "hbm":
+        raise ValueError(
+            "hbm-streamed tiling is FISTA-only; OptISTA/POGM ride the "
+            "VMEM-carry variant"
+        )
 
     scal = jnp.stack(
         [
@@ -332,33 +425,48 @@ def fista_tv_tiled(
         ],
         axis=1,
     )
-    tab = jnp.asarray(_momentum_table("fista", iterations))
+    tab = jnp.asarray(_momentum_table(method, iterations))
 
     # prefer the DMA-free VMEM-carry variant when the carries fit; the
     # HBM-streamed variant has no size limit but pays window DMAs
     if mode == "auto":
-        mode = "vmem" if pick_tile_rows_vmem(H, W, halo) else "hbm"
+        mode = (
+            "vmem"
+            if pick_tile_rows_vmem(H, W, halo, method=method)
+            else "hbm"
+        )
+        if method != "fista" and mode == "hbm":
+            raise ValueError(
+                f"no valid VMEM-carry tile size for H={H}, W={W}, "
+                f"halo={halo} ({method} has no hbm-streamed variant)"
+            )
     if mode == "vmem":
         TR = (
             tile_rows
             if tile_rows is not None
-            else pick_tile_rows_vmem(H, W, halo)
+            else pick_tile_rows_vmem(H, W, halo, method=method)
         )
         if TR is None or H % TR:
             raise ValueError(
                 f"no valid VMEM-carry tile size for H={H}, W={W}, "
                 f"halo={halo}"
             )
-        return pl.pallas_call(
-            functools.partial(
+        if method == "fista":
+            kern = functools.partial(
                 _kernel_vmem,
-                H=H,
-                W=W,
-                TR=TR,
-                halo=halo,
-                taps=taps,
+                H=H, W=W, TR=TR, halo=halo, taps=taps,
                 tv_iterations=tv_iterations,
-            ),
+            )
+            n_scratch = 3
+        else:
+            kern = functools.partial(
+                _kernel_vmem_pgm,
+                H=H, W=W, TR=TR, halo=halo, taps=taps,
+                tv_iterations=tv_iterations, method=method,
+            )
+            n_scratch = 6
+        return pl.pallas_call(
+            kern,
             grid=(P, iterations),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -373,9 +481,7 @@ def fista_tv_tiled(
             ),
             out_shape=jax.ShapeDtypeStruct((P, H, W), x0hat_b.dtype),
             scratch_shapes=[
-                pltpu.VMEM((H, W), jnp.float32),
-                pltpu.VMEM((H, W), jnp.float32),
-                pltpu.VMEM((H, W), jnp.float32),
+                pltpu.VMEM((H, W), jnp.float32) for _ in range(n_scratch)
             ],
             interpret=interpret,
         )(scal, tab, x0hat_b)
@@ -440,16 +546,25 @@ def fista_tv_tiled(
 
 
 def check_fista_tv_tiled(solver):
-    """Validate `solver` for the tiled path (FISTA + SeparableConv + 2-D
-    TV, fixed schedule). Raises ValueError naming the first unsupported
-    piece; returns (taps_h, taps_w)."""
+    """Validate `solver` for the tiled path (FISTA/OptISTA/POGM +
+    SeparableConv + 2-D TV, fixed schedule; OptISTA/POGM are VMEM-carry
+    only). Raises ValueError naming the first unsupported piece; returns
+    (taps, method)."""
     from ..models.prox import TVRegularization
     from ..models.solvers.fista import FISTA
+    from ..models.solvers.optista import OptISTA
+    from ..models.solvers.pogm import POGM
     from ..ops.base import NormalOperator
     from ..ops.conv_direct import SeparableConvOperator
 
-    if not isinstance(solver, FISTA):
-        raise ValueError("tiled path requires FISTA")
+    if isinstance(solver, FISTA):
+        method = "fista"
+    elif isinstance(solver, OptISTA):
+        method = "optista"
+    elif isinstance(solver, POGM):
+        method = "pogm"
+    else:
+        raise ValueError("tiled path requires FISTA, OptISTA, or POGM")
     if not isinstance(solver.AHA, NormalOperator):
         raise ValueError(
             "tiled path requires AHA to be the NormalOperator of a "
@@ -487,8 +602,8 @@ def check_fista_tv_tiled(solver):
     halo = -(-cone // 8) * 8
     if H % 8:
         raise ValueError(f"tiled path needs H % 8 == 0, got {H}")
-    tr_v = pick_tile_rows_vmem(H, W, halo)
-    tr_h = pick_tile_rows(H, W, halo)
+    tr_v = pick_tile_rows_vmem(H, W, halo, method=method)
+    tr_h = pick_tile_rows(H, W, halo) if method == "fista" else None
     if tr_h is not None and (H // tr_h < 2 or tr_h + 2 * halo > H):
         tr_h = None
     if W % 128 and jax.default_backend() != "cpu":
@@ -498,7 +613,7 @@ def check_fista_tv_tiled(solver):
             f"no valid tile size for H={H}, W={W}, halo={halo} "
             "(use the monolithic fused kernel instead)"
         )
-    return taps
+    return taps, method
 
 
 def solve_fista_tv_tiled(
@@ -512,11 +627,12 @@ def solve_fista_tv_tiled(
     sizes beyond the monolithic kernel's VMEM ceiling (512², 1024², …).
     Returns the n×K solution matrix like the composed driver.
 
-    ``mode``: "vmem" keeps the FISTA carries full-image VMEM-resident and
-    loops tiles statically in-kernel (DMA-free; mid sizes ~512–768²);
+    ``mode``: "vmem" keeps the solver carries full-image VMEM-resident
+    and loops tiles statically in-kernel (DMA-free; mid sizes ~512–768²);
     "hbm" streams halo windows through a rotating HBM triple buffer (no
-    size limit); "auto" picks vmem when it fits."""
-    taps = check_fista_tv_tiled(solver)
+    size limit; FISTA only); "auto" picks vmem when it fits. OptISTA and
+    POGM (restart="none") ride the VMEM-carry (x, y, z) variant."""
+    taps, method = check_fista_tv_tiled(solver)
     op = solver.AHA.A
     reg = solver.reg
     H, W = op.im_shape
@@ -542,5 +658,6 @@ def solve_fista_tv_tiled(
         tile_rows=tile_rows,
         interpret=interpret,
         mode=mode,
+        method=method,
     )
     return out.reshape(out.shape[0], H * W).T

@@ -726,6 +726,34 @@ def test_fista_tv_tiled_matches_composed(rng):
     np.testing.assert_allclose(got_v, want, rtol=0, atol=1e-4)
 
 
+def test_pgm_tv_tiled_optista_pogm_match_composed(rng):
+    """The VMEM-carry tiled kernel's OptISTA/POGM (x, y, z) variant must
+    exactly reproduce the composed unrolled path (same f64 momentum
+    table, exact tiling)."""
+    from rls_tpu.kernels import solve_fista_tv_tiled
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    n, batch = 48, 2
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=3, unroll=True)
+    X = jnp.asarray(rng.normal(size=(batch, n * n)), jnp.float32)
+    B = jax.vmap(op.mv)(X).T
+    for name in ("OptISTA", "POGM"):
+        solver = rt.create_linear_solver(
+            name, op, reg=reg, iterations=6, rho=0.9, kwarg_warning=False
+        )
+        want = np.asarray(jax.jit(solve_batched_unrolled)(solver, B))
+        got = np.asarray(
+            solve_fista_tv_tiled(
+                solver, B, tile_rows=16, mode="vmem", interpret=True
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-4, err_msg=name)
+
+
 def test_fista_tv_tiled_rejects_unsupported(rng):
     from rls_tpu.kernels import solve_fista_tv_tiled
 

@@ -20,6 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     import jax
+
+    # persistent compile cache: the unrolled programs take minutes cold
+    # through the tunnel; cached re-runs finish in well under a minute
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
     import jax.numpy as jnp
 
     import rls_tpu as rt
