@@ -223,6 +223,7 @@ def _kernel_vmem(
     xc_s,  # VMEM scratch (H, W): x_i
     xm_s,  # VMEM scratch (H, W): x_{i-1}
     xn_s,  # VMEM scratch (H, W): x_{i+1} being assembled
+    st_s,  # SMEM scratch (4,): [θ_in, θ_old, done, ‖x0hat‖] (dynamic mode)
     *,
     H: int,
     W: int,
@@ -230,26 +231,54 @@ def _kernel_vmem(
     halo: int,
     taps: tuple,
     tv_iterations: int,
+    restart: bool = False,
+    rel_tol: float | None = None,
 ):
     """VMEM-carry tiled variant: the FISTA carries stay full-image VMEM
     scratch (persistent across grid steps); only the iteration TEMPS
     (stencil passes, FGP duals) are tile-sized — they are what blew the
     monolithic kernel's budget. The tile loop is a STATIC python loop,
     so every slice offset is a literal: no DMA, no dynamic-alignment
-    constraints. grid = (problems, iterations)."""
+    constraints. grid = (problems, iterations).
+
+    Unlike the HBM-streamed variant, the full iterate lives in scratch,
+    so the PER-PROBLEM reductions of the dynamic FISTA schedule are
+    computable in-kernel: the gradient-restart dot Σ res·(x_new − x)
+    (reference FISTA.jl:171-176) and the convergence norm ‖res‖ are
+    accumulated over tile INTERIORS (exact — tiles partition the rows,
+    and res is exact on interior rows by the halo), with the f32 θ
+    recurrence and done flag carried in SMEM scratch across grid steps.
+    Semantics mirror fista_tv_fused._fista_loop_dynamic exactly."""
     p = pl.program_id(0)
     i = pl.program_id(1)
     f32 = xc_s.dtype
+    dynamic = restart or rel_tol is not None
+    one = jnp.asarray(1.0, f32)
 
     @pl.when(i == 0)
     def _init():
         xc_s[...] = jnp.zeros((H, W), f32)
         xm_s[...] = jnp.zeros((H, W), f32)
+        if dynamic:
+            st_s[0] = one  # θ_in (check enforces theta0 = 1)
+            st_s[1] = one  # θ_old
+            st_s[2] = jnp.asarray(0.0, f32)  # done flag
+            if rel_tol is not None:
+                st_s[3] = jnp.sqrt(jnp.sum(x0_ref[0] * x0_ref[0]))
 
     rho = scal_ref[p, 0]
     lam = scal_ref[p, 1]
-    a = tab_ref[i, 0]
+    if dynamic:
+        th_in = st_s[0]
+        th_old = st_s[1]
+        a = (th_old - 1.0) / th_in
+        keep = st_s[2]  # freeze AFTER the step that detected convergence
+        live = 1.0 - keep
+    else:
+        a = tab_ref[i, 0]
     T = H // TR
+    dot_acc = jnp.asarray(0.0, f32)
+    res_acc = jnp.asarray(0.0, f32)
 
     for t in range(T):
         lo = max(0, t * TR - halo)
@@ -264,10 +293,41 @@ def _kernel_vmem(
         x_mom = x + a * (x - xm_s[lo:hi, :])
         res = normal(x_mom) - x0_ref[0, lo:hi, :]
         x_new = fgp(x_mom - rho * res, rho * lam, tv_iterations)
-        xn_s[t * TR : (t + 1) * TR, :] = x_new[off : off + TR, :]
+        win = slice(off, off + TR)
+        sl = slice(t * TR, (t + 1) * TR)
+        if dynamic:
+            x_int = x[win, :]
+            new_int = x_new[win, :]
+            res_int = res[win, :]
+            if restart:
+                dot_acc = dot_acc + jnp.sum(res_int * (new_int - x_int))
+            if rel_tol is not None:
+                res_acc = res_acc + jnp.sum(res_int * res_int)
+            xn_s[sl, :] = x_int + live * (new_int - x_int)
+        else:
+            xn_s[sl, :] = x_new[win, :]
 
-    # rotate: x_{i-1} ← x_i, x_i ← x_{i+1} (cheap VMEM copies)
-    xm_s[...] = xc_s[...]
+    if dynamic:
+        # θ recurrence + restart reset + freeze masking, exactly as in
+        # _fista_loop_dynamic (the reductions there are whole-plane; here
+        # they are the tile-interior accumulators)
+        th = th_in
+        if restart:
+            th = jnp.where(dot_acc > 0.0, one, th)
+        th_old_new = th
+        th_new = (1.0 + jnp.sqrt(1.0 + 4.0 * th * th)) / 2.0
+        if rel_tol is not None:
+            rel = jnp.sqrt(res_acc) / st_s[3]
+            st_s[2] = jnp.maximum(keep, (rel < rel_tol).astype(f32))
+            th_old_new = th_old + live * (th_old_new - th_old)
+            th_new = th_in + live * (th_new - th_in)
+        st_s[0] = th_new
+        st_s[1] = th_old_new
+        # m1_out = m1 + live·(x − m1) — BEFORE xc is overwritten
+        xm_s[...] = xm_s[...] + live * (xc_s[...] - xm_s[...])
+    else:
+        # rotate: x_{i-1} ← x_i, x_i ← x_{i+1} (cheap VMEM copies)
+        xm_s[...] = xc_s[...]
     xc_s[...] = xn_s[...]
     out_ref[0] = xn_s[...]
 
@@ -277,13 +337,9 @@ def _kernel_vmem_pgm(
     tab_ref,  # SMEM (iterations, 4): full momentum table (_momentum_table)
     x0_ref,  # VMEM (1, H, W)
     out_ref,  # VMEM (1, H, W)
-    x_s,  # VMEM scratch (H, W): x_i
-    y_s,  # VMEM scratch (H, W): y_i (OptISTA) / y_i (POGM)
-    z_s,  # VMEM scratch (H, W): z_i
-    xn_s,  # VMEM scratch (H, W): assemblies for the next iterates
-    yn_s,  # VMEM scratch (H, W)
-    zn_s,  # VMEM scratch (H, W)
-    *,
+    *scratch,  # table mode: (x, y, z, xn, yn, zn) VMEM (H, W) planes;
+    #            dynamic POGM adds (w, wn) planes and a (6,) SMEM scalar
+    #            carry [θ, σ, γ_old, done, ‖x0hat‖, unused]
     H: int,
     W: int,
     TR: int,
@@ -291,6 +347,10 @@ def _kernel_vmem_pgm(
     taps: tuple,
     tv_iterations: int,
     method: str,
+    iterations: int = 0,
+    restart: bool = False,
+    rel_tol: float | None = None,
+    sigma_fac: float = 1.0,
 ):
     """OptISTA/POGM VMEM-carry tiled variant: like `_kernel_vmem` but
     with the (x, y, z) carry triple of the table-driven PGM family
@@ -298,24 +358,75 @@ def _kernel_vmem_pgm(
     POGM.jl:189-213 without restart). Every step of both methods is
     window-local given the halo cone (one normal-op stencil + one FGP
     chain per iteration — the same cone as FISTA), so the tiling stays
-    exact. grid = (problems, iterations)."""
+    exact. grid = (problems, iterations).
+
+    With ``restart``/``rel_tol`` (POGM only), the dynamic θ/σ/γ
+    recurrences of `_pogm_loop_dynamic` run on SMEM scalar carries, the
+    running w plane becomes a 4th full-image carry, and the restart
+    criterion's three dot products (POGM.jl:222-232) are accumulated
+    exactly over tile interiors."""
+    dynamic = restart or rel_tol is not None
+    if dynamic:
+        x_s, y_s, z_s, w_s, xn_s, yn_s, zn_s, wn_s, st_s = scratch
+    else:
+        x_s, y_s, z_s, xn_s, yn_s, zn_s = scratch
     p = pl.program_id(0)
     i = pl.program_id(1)
     f32 = x_s.dtype
+    one = jnp.asarray(1.0, f32)
 
     @pl.when(i == 0)
     def _init():
         x_s[...] = jnp.zeros((H, W), f32)
         y_s[...] = jnp.zeros((H, W), f32)
         z_s[...] = jnp.zeros((H, W), f32)
+        if dynamic:
+            w_s[...] = jnp.zeros((H, W), f32)
+            st_s[0] = one  # θ (check enforces theta0 = 1)
+            st_s[1] = one  # σ
+            st_s[2] = one  # γ_old
+            st_s[3] = jnp.asarray(0.0, f32)  # done flag
+            if rel_tol is not None:
+                st_s[4] = jnp.sqrt(jnp.sum(x0_ref[0] * x0_ref[0]))
 
     rho = scal_ref[p, 0]
     lam = scal_ref[p, 1]
-    a = tab_ref[i, 0]
-    bcoef = tab_ref[i, 1]
-    g = tab_ref[i, 2]
-    e = tab_ref[i, 3]
     T = H // TR
+
+    if dynamic:
+        # the θ/σ/γ recurrences of _pogm_loop_dynamic (POGM.jl:189-202)
+        th_old = st_s[0]
+        sig = st_s[1]
+        gam_old = st_s[2]
+        keep = st_s[3]
+        live = 1.0 - keep
+        last = i == iterations - 1
+        if restart:
+            th = jnp.where(
+                last,
+                (1.0 + jnp.sqrt(1.0 + 8.0 * th_old * th_old)) / 2.0,
+                (1.0 + jnp.sqrt(1.0 + 4.0 * th_old * th_old)) / 2.0,
+            )
+        else:
+            th = (1.0 + jnp.sqrt(1.0 + 4.0 * th_old * th_old)) / 2.0
+        a = (th_old - 1.0) / th
+        bcoef = sig * th_old / th
+        if restart:
+            gam = rho * (1.0 + a + bcoef)
+        else:
+            gam = rho * (2.0 * th_old + th - 1.0) / th
+        e = rho * a / gam_old  # the POGM z-coupling ρα/γ_old
+        prox_scale = gam  # γλ (already includes ρ)
+    else:
+        a = tab_ref[i, 0]
+        bcoef = tab_ref[i, 1]
+        g = tab_ref[i, 2]
+        e = tab_ref[i, 3]
+        prox_scale = rho * g
+
+    c1_acc = jnp.asarray(0.0, f32)  # Σ w_mid·(x_new − z_new)
+    c2_acc = jnp.asarray(0.0, f32)  # Σ w_mid·res
+    res_acc = jnp.asarray(0.0, f32)  # Σ res²
 
     for t in range(T):
         lo = max(0, t * TR - halo)
@@ -334,19 +445,60 @@ def _kernel_vmem_pgm(
             y_new = fgp(y - (rho * g) * res, (rho * g) * lam, tv_iterations)
             z_new = x + (y_new - y) * e
             x_new = (1.0 + a + bcoef) * z_new - a * z - bcoef * x
-        else:  # pogm (restart="none", σ = 1)
+        else:  # pogm
             y_new = x - rho * res
             x_mid = (
                 (1.0 + a + bcoef) * y_new - a * y - (bcoef + e) * x + e * z
             )
-            x_new = fgp(x_mid, (rho * g) * lam, tv_iterations)
+            x_new = fgp(x_mid, prox_scale * lam, tv_iterations)
             z_new = x_mid
         sl = slice(t * TR, (t + 1) * TR)
         win = slice(off, off + TR)
-        xn_s[sl, :] = x_new[win, :]
-        yn_s[sl, :] = y_new[win, :]
-        zn_s[sl, :] = z_new[win, :]
+        if dynamic:
+            x_i = x[win, :]
+            y_i = y[win, :]
+            z_i = z[win, :]
+            xn_i = x_new[win, :]
+            yn_i = y_new[win, :]
+            zn_i = z_new[win, :]
+            w_i = w_s[sl, :]
+            if restart:
+                w_mid = w_i + yn_i + (rho / gam) * (xn_i - zn_i)
+                c1_acc = c1_acc + jnp.sum(w_mid * (xn_i - zn_i))
+                c2_acc = c2_acc + jnp.sum(w_mid * res[win, :])
+                wn_i = (rho / gam) * (zn_i - xn_i) - yn_i
+            else:
+                wn_i = w_i
+            if rel_tol is not None:
+                r_i = res[win, :]
+                res_acc = res_acc + jnp.sum(r_i * r_i)
+            xn_s[sl, :] = x_i + live * (xn_i - x_i)
+            yn_s[sl, :] = y_i + live * (yn_i - y_i)
+            zn_s[sl, :] = z_i + live * (zn_i - z_i)
+            wn_s[sl, :] = w_i + live * (wn_i - w_i)
+        else:
+            xn_s[sl, :] = x_new[win, :]
+            yn_s[sl, :] = y_new[win, :]
+            zn_s[sl, :] = z_new[win, :]
 
+    if dynamic:
+        # restart decision + freeze masking, exactly as _pogm_loop_dynamic
+        sig_new = sig
+        if restart:
+            crit = c1_acc / gam - c2_acc
+            fire = crit < 0.0
+            sig_new = jnp.where(fire, one, sig * sigma_fac)
+            th = jnp.where(fire, one, th)
+        if rel_tol is not None:
+            rel = jnp.sqrt(res_acc) / st_s[4]
+            st_s[3] = jnp.maximum(keep, (rel < rel_tol).astype(f32))
+            th = th_old + live * (th - th_old)
+            sig_new = sig + live * (sig_new - sig)
+            gam = gam_old + live * (gam - gam_old)
+        st_s[0] = th
+        st_s[1] = sig_new
+        st_s[2] = gam
+        w_s[...] = wn_s[...]
     x_s[...] = xn_s[...]
     y_s[...] = yn_s[...]
     z_s[...] = zn_s[...]
@@ -355,16 +507,22 @@ def _kernel_vmem_pgm(
 
 def pick_tile_rows_vmem(
     H: int, W: int, halo: int, vmem_budget: int | None = None,
-    method: str = "fista",
+    method: str = "fista", dynamic: bool = False,
 ):
     """Largest 8-multiple divisor of H for the VMEM-carry variant:
     full-image scratches + x0/out blocks + ~12 tile-sized temp planes
     must fit the budget. FISTA carries 3 full-image scratches (x, x_prev,
-    x_next); OptISTA/POGM carry (x, y, z) plus 3 assembly planes.
-    Returns None when even the smallest tile doesn't fit (fall back to
-    the HBM-streamed variant)."""
+    x_next); OptISTA/POGM carry (x, y, z) plus 3 assembly planes; dynamic
+    POGM (restart/early-exit) adds the (w, w_next) pair. Returns None
+    when even the smallest tile doesn't fit (fall back to the
+    HBM-streamed variant)."""
     budget = vmem_budget if vmem_budget is not None else 14 * 1024 * 1024
-    planes = 5 if method == "fista" else 8
+    if method == "fista":
+        planes = 5
+    elif dynamic:
+        planes = 10
+    else:
+        planes = 8
     fixed = planes * H * W * 4  # carries + assemblies + x0 block + out block
     best = None
     for tr in range(8, H + 1, 8):
@@ -403,6 +561,9 @@ def fista_tv_tiled(
     interpret: bool = False,
     mode: str = "auto",
     method: str = "fista",
+    restart: bool = False,
+    rel_tol: float | None = None,
+    sigma_fac: float = 1.0,
 ):
     P, H, W = x0hat_b.shape
     kh = len(taps[0])
@@ -416,6 +577,17 @@ def fista_tv_tiled(
         raise ValueError(
             "hbm-streamed tiling is FISTA-only; OptISTA/POGM ride the "
             "VMEM-carry variant"
+        )
+    dynamic = restart or rel_tol is not None
+    if dynamic and method == "optista":
+        raise ValueError(
+            "tiled restart/early-exit are FISTA/POGM-only (OptISTA has "
+            "no restart scheme, matching the reference)"
+        )
+    if dynamic and mode == "hbm":
+        raise ValueError(
+            "tiled restart/early-exit need the VMEM-carry variant (the "
+            "streamed kernel has no cross-tile reduction state)"
         )
 
     scal = jnp.stack(
@@ -432,19 +604,20 @@ def fista_tv_tiled(
     if mode == "auto":
         mode = (
             "vmem"
-            if pick_tile_rows_vmem(H, W, halo, method=method)
+            if pick_tile_rows_vmem(H, W, halo, method=method, dynamic=dynamic)
             else "hbm"
         )
-        if method != "fista" and mode == "hbm":
+        if (method != "fista" or dynamic) and mode == "hbm":
             raise ValueError(
                 f"no valid VMEM-carry tile size for H={H}, W={W}, "
-                f"halo={halo} ({method} has no hbm-streamed variant)"
+                f"halo={halo} ({method}{'+restart/early-exit' if dynamic else ''} "
+                "has no hbm-streamed variant)"
             )
     if mode == "vmem":
         TR = (
             tile_rows
             if tile_rows is not None
-            else pick_tile_rows_vmem(H, W, halo, method=method)
+            else pick_tile_rows_vmem(H, W, halo, method=method, dynamic=dynamic)
         )
         if TR is None or H % TR:
             raise ValueError(
@@ -456,15 +629,22 @@ def fista_tv_tiled(
                 _kernel_vmem,
                 H=H, W=W, TR=TR, halo=halo, taps=taps,
                 tv_iterations=tv_iterations,
+                restart=restart, rel_tol=rel_tol,
             )
-            n_scratch = 3
+            scratch = [pltpu.VMEM((H, W), jnp.float32) for _ in range(3)]
+            scratch.append(pltpu.SMEM((4,), jnp.float32))
         else:
             kern = functools.partial(
                 _kernel_vmem_pgm,
                 H=H, W=W, TR=TR, halo=halo, taps=taps,
                 tv_iterations=tv_iterations, method=method,
+                iterations=iterations,
+                restart=restart, rel_tol=rel_tol, sigma_fac=sigma_fac,
             )
-            n_scratch = 6
+            n_planes = 8 if dynamic else 6
+            scratch = [pltpu.VMEM((H, W), jnp.float32) for _ in range(n_planes)]
+            if dynamic:
+                scratch.append(pltpu.SMEM((6,), jnp.float32))
         return pl.pallas_call(
             kern,
             grid=(P, iterations),
@@ -480,9 +660,7 @@ def fista_tv_tiled(
                 (1, H, W), lambda p, i: (p, 0, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((P, H, W), x0hat_b.dtype),
-            scratch_shapes=[
-                pltpu.VMEM((H, W), jnp.float32) for _ in range(n_scratch)
-            ],
+            scratch_shapes=scratch,
             interpret=interpret,
         )(scal, tab, x0hat_b)
 
@@ -588,11 +766,23 @@ def check_fista_tv_tiled(solver):
         raise ValueError("tiled path requires 2-D TV over both axes")
     if solver.proj:
         raise ValueError("tiled path does not support projection terms")
-    if getattr(solver, "restart", "none") != "none":
+    solver_restart = getattr(solver, "restart", "none")
+    if solver_restart not in ("none", "gradient"):
         raise ValueError(
-            "tiled path does not support restart (per-problem reductions "
-            "span tiles); use the monolithic fused kernel"
+            f"tiled path does not support restart={solver_restart!r}"
         )
+    if solver_restart == "gradient" and method not in ("fista", "pogm"):
+        raise ValueError(
+            "tiled gradient restart is FISTA/POGM-only (VMEM-carry "
+            "reductions); use the monolithic fused kernel"
+        )
+    if method == "pogm":
+        sigma_fac = getattr(solver, "sigma_fac", 1.0)
+        if isinstance(sigma_fac, jax.core.Tracer):
+            raise ValueError(
+                "tiled POGM needs a concrete solver.sigma_fac; close the "
+                "solver over jax.jit instead of passing it as a jit argument"
+            )
     theta0 = getattr(solver, "theta", 1.0)
     if isinstance(theta0, jax.core.Tracer) or float(theta0) != 1.0:
         raise ValueError("tiled path requires the default concrete theta=1")
@@ -602,7 +792,9 @@ def check_fista_tv_tiled(solver):
     halo = -(-cone // 8) * 8
     if H % 8:
         raise ValueError(f"tiled path needs H % 8 == 0, got {H}")
-    tr_v = pick_tile_rows_vmem(H, W, halo, method=method)
+    tr_v = pick_tile_rows_vmem(
+        H, W, halo, method=method, dynamic=solver_restart == "gradient"
+    )
     tr_h = pick_tile_rows(H, W, halo) if method == "fista" else None
     if tr_h is not None and (H // tr_h < 2 or tr_h + 2 * halo > H):
         tr_h = None
@@ -613,6 +805,11 @@ def check_fista_tv_tiled(solver):
             f"no valid tile size for H={H}, W={W}, halo={halo} "
             "(use the monolithic fused kernel instead)"
         )
+    if solver_restart == "gradient" and tr_v is None:
+        raise ValueError(
+            f"tiled restart needs the VMEM-carry variant, but no tile "
+            f"size fits H={H}, W={W}, halo={halo}"
+        )
     return taps, method
 
 
@@ -622,6 +819,7 @@ def solve_fista_tv_tiled(
     interpret: bool | None = None,
     tile_rows: int | None = None,
     mode: str = "auto",
+    early_exit: bool = False,
 ):
     """Drop-in fast path for `solve_batched_unrolled(solver, B)` at image
     sizes beyond the monolithic kernel's VMEM ceiling (512², 1024², …).
@@ -631,8 +829,22 @@ def solve_fista_tv_tiled(
     and loops tiles statically in-kernel (DMA-free; mid sizes ~512–768²);
     "hbm" streams halo windows through a rotating HBM triple buffer (no
     size limit; FISTA only); "auto" picks vmem when it fits. OptISTA and
-    POGM (restart="none") ride the VMEM-carry (x, y, z) variant."""
+    POGM ride the VMEM-carry (x, y, z) variant.
+    ``solver.restart == "gradient"`` (FISTA and POGM) rides the
+    VMEM-carry dynamic schedule; with ``early_exit=True`` (concrete
+    ``solver.rel_tol > 0``) converged problems freeze in-kernel — the
+    `solve_batched` done-masking semantics on the fixed grid, like the
+    monolithic kernel's."""
     taps, method = check_fista_tv_tiled(solver)
+    restart = getattr(solver, "restart", "none") == "gradient"
+    rel_tol = None
+    if early_exit:
+        if method not in ("fista", "pogm"):
+            raise ValueError("tiled early_exit is FISTA/POGM-only")
+        if solver.rel_tol is None or isinstance(solver.rel_tol, jax.core.Tracer):
+            raise ValueError("tiled early_exit needs a concrete solver.rel_tol")
+        rel_tol = float(solver.rel_tol)
+    sigma_fac = float(getattr(solver, "sigma_fac", 1.0))
     op = solver.AHA.A
     reg = solver.reg
     H, W = op.im_shape
@@ -659,5 +871,8 @@ def solve_fista_tv_tiled(
         interpret=interpret,
         mode=mode,
         method=method,
+        restart=restart,
+        rel_tol=rel_tol,
+        sigma_fac=sigma_fac,
     )
     return out.reshape(out.shape[0], H * W).T

@@ -754,6 +754,125 @@ def test_pgm_tv_tiled_optista_pogm_match_composed(rng):
         np.testing.assert_allclose(got, want, rtol=0, atol=1e-4, err_msg=name)
 
 
+def test_fista_tv_tiled_gradient_restart_matches_composed(rng):
+    """The VMEM-carry tiled kernel's dynamic schedule (SMEM θ recurrence,
+    restart dot accumulated over tile interiors) must reproduce the
+    composed restart trajectory — the reference's default-configurable
+    FISTA (FISTA.jl:171-176) at beyond-VMEM sizes."""
+    from rls_tpu.kernels import solve_fista_tv_tiled
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    mild = np.array([0.1, 1.0, 0.1])
+    solver, B = _small_deblur(
+        rng, rho=0.95, g=mild, iterations=12, rel_tol=0.0,
+        track_residual=False, restart="gradient",
+    )
+    want = np.asarray(jax.jit(solve_batched_unrolled)(solver, B))
+    got = np.asarray(
+        solve_fista_tv_tiled(solver, B, tile_rows=8, mode="vmem",
+                             interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+    # the restart must actually fire: the no-restart schedule differs
+    base = rt.FISTA.create(
+        solver.AHA.A, reg=solver.reg, iterations=12, rho=0.95, rel_tol=0.0,
+        track_residual=False,
+    )
+    plain = np.asarray(
+        solve_fista_tv_tiled(base, B, tile_rows=8, mode="vmem",
+                             interpret=True)
+    )
+    assert np.abs(plain - got).max() > 1e-5
+
+
+def test_fista_tv_tiled_early_exit_matches_solve_batched(rng):
+    """Tiled early_exit=True freezes converged problems via the SMEM done
+    flag — matching solve_batched's done-masked loop (FISTA.jl:187-189)."""
+    from rls_tpu.kernels import solve_fista_tv_tiled
+    from rls_tpu.models.solvers import solve_batched
+
+    solver, B = _small_deblur(
+        rng, iterations=15, rel_tol=0.35, track_residual=True
+    )
+    want = np.asarray(jax.jit(solve_batched)(solver, B))
+    got = np.asarray(
+        solve_fista_tv_tiled(solver, B, tile_rows=8, mode="vmem",
+                             interpret=True, early_exit=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+    # ... and without the mask the tiled path runs all iterations
+    full = np.asarray(
+        solve_fista_tv_tiled(solver, B, tile_rows=8, mode="vmem",
+                             interpret=True)
+    )
+    assert np.abs(full - got).max() > 1e-6
+
+
+def test_pogm_tv_tiled_gradient_restart_matches_composed(rng):
+    """Tiled POGM restart: the w plane rides a 4th VMEM carry, θ/σ/γ SMEM
+    scalars, and the POGM.jl:222-232 criterion's dots accumulate over
+    tile interiors — must reproduce the composed restart trajectory
+    (σ decrease included)."""
+    from rls_tpu.kernels import solve_fista_tv_tiled
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    n, batch = 24, 3
+    mild = np.array([0.1, 1.0, 0.1])
+    kern = np.outer(mild, mild)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=5, unroll=True)
+    X = jnp.asarray(rng.normal(size=(batch, n * n)), jnp.float32)
+    B = jax.vmap(op.mv)(X).T
+    solver = rt.create_linear_solver(
+        "POGM", op, reg=reg, iterations=12, rho=0.95, restart="gradient",
+        sigma_fac=0.9, kwarg_warning=False,
+    )
+    want = np.asarray(jax.jit(solve_batched_unrolled)(solver, B))
+    got = np.asarray(
+        solve_fista_tv_tiled(solver, B, tile_rows=8, mode="vmem",
+                             interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+    base = rt.create_linear_solver(
+        "POGM", op, reg=reg, iterations=12, rho=0.95, kwarg_warning=False
+    )
+    plain = np.asarray(
+        solve_fista_tv_tiled(base, B, tile_rows=8, mode="vmem",
+                             interpret=True)
+    )
+    assert np.abs(plain - got).max() > 1e-5
+
+
+def test_pogm_tv_tiled_early_exit_matches_solve_batched(rng):
+    from rls_tpu.kernels import solve_fista_tv_tiled
+    from rls_tpu.models.solvers import solve_batched
+
+    n, batch = 24, 3
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=5, unroll=True)
+    X = jnp.asarray(rng.normal(size=(batch, n * n)), jnp.float32)
+    B = jax.vmap(op.mv)(X).T
+    solver = rt.create_linear_solver(
+        "POGM", op, reg=reg, iterations=15, rho=0.9, rel_tol=0.35,
+        kwarg_warning=False,
+    )
+    want = np.asarray(jax.jit(solve_batched)(solver, B))
+    got = np.asarray(
+        solve_fista_tv_tiled(solver, B, tile_rows=8, mode="vmem",
+                             interpret=True, early_exit=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+    full = np.asarray(
+        solve_fista_tv_tiled(solver, B, tile_rows=8, mode="vmem",
+                             interpret=True)
+    )
+    assert np.abs(full - got).max() > 1e-6
+
+
 def test_fista_tv_tiled_rejects_unsupported(rng):
     from rls_tpu.kernels import solve_fista_tv_tiled
 
@@ -762,7 +881,22 @@ def test_fista_tv_tiled_rejects_unsupported(rng):
     kern = np.outer(g, g) / np.outer(g, g).sum()
     op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
     reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=3, unroll=True)
+    # FISTA/POGM restart is supported (VMEM-carry dynamic schedule);
+    # OptISTA early-exit is not (no dynamic schedule, like the monolithic)
+    from rls_tpu.kernels.fista_tv_tiled import check_fista_tv_tiled
+
     s = rt.FISTA.create(op, reg=reg, iterations=3, rho=0.9,
                         restart="gradient")
-    with pytest.raises(ValueError, match="restart"):
-        solve_fista_tv_tiled(s, jnp.zeros((n * n, 1), jnp.float32))
+    check_fista_tv_tiled(s)  # must not raise
+    sp = rt.create_linear_solver(
+        "POGM", op, reg=reg, iterations=3, rho=0.9, restart="gradient",
+        kwarg_warning=False,
+    )
+    check_fista_tv_tiled(sp)  # must not raise
+    so = rt.create_linear_solver(
+        "OptISTA", op, reg=reg, iterations=3, rho=0.9, rel_tol=0.1,
+        kwarg_warning=False,
+    )
+    with pytest.raises(ValueError, match="FISTA/POGM"):
+        solve_fista_tv_tiled(so, jnp.zeros((n * n, 1), jnp.float32),
+                             early_exit=True)
