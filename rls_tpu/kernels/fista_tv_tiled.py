@@ -276,10 +276,51 @@ def _kernel_vmem(
         live = 1.0 - keep
     else:
         a = tab_ref[i, 0]
+        live = None
+    dot_acc, res_acc = _fista_vmem_sweep(
+        x0_ref, xc_s, xm_s, xn_s, a, live, rho, lam,
+        H, W, TR, halo, taps, tv_iterations, restart, rel_tol,
+    )
+
+    if dynamic:
+        # θ recurrence + restart reset + freeze masking, exactly as in
+        # _fista_loop_dynamic (the reductions there are whole-plane; here
+        # they are the tile-interior accumulators)
+        th = th_in
+        if restart:
+            th = jnp.where(dot_acc > 0.0, one, th)
+        th_old_new = th
+        th_new = (1.0 + jnp.sqrt(1.0 + 4.0 * th * th)) / 2.0
+        if rel_tol is not None:
+            rel = jnp.sqrt(res_acc) / st_s[3]
+            st_s[2] = jnp.maximum(keep, (rel < rel_tol).astype(f32))
+            th_old_new = th_old + live * (th_old_new - th_old)
+            th_new = th_in + live * (th_new - th_in)
+        st_s[0] = th_new
+        st_s[1] = th_old_new
+        # m1_out = m1 + live·(x − m1) — BEFORE xc is overwritten
+        xm_s[...] = xm_s[...] + live * (xc_s[...] - xm_s[...])
+    else:
+        # rotate: x_{i-1} ← x_i, x_i ← x_{i+1} (cheap VMEM copies)
+        xm_s[...] = xc_s[...]
+    xc_s[...] = xn_s[...]
+    out_ref[0] = xn_s[...]
+
+
+def _fista_vmem_sweep(
+    x0_ref, xc_s, xm_s, xn_s, a, live, rho, lam,
+    H, W, TR, halo, taps, tv_iterations, restart, rel_tol,
+):
+    """One FISTA iteration over all row tiles of the VMEM-carry layout:
+    reads xc_s/xm_s windows, writes xn_s interiors (with the `live`
+    freeze factor when dynamic). Returns the (restart dot, Σres²)
+    interior accumulators. Shared by the grid-stepped and the
+    fori-looped kernel bodies."""
+    f32 = xc_s.dtype
+    dynamic = live is not None
     T = H // TR
     dot_acc = jnp.asarray(0.0, f32)
     res_acc = jnp.asarray(0.0, f32)
-
     for t in range(T):
         lo = max(0, t * TR - halo)
         hi = min(H, (t + 1) * TR + halo)
@@ -306,30 +347,87 @@ def _kernel_vmem(
             xn_s[sl, :] = x_int + live * (new_int - x_int)
         else:
             xn_s[sl, :] = x_new[win, :]
+    return dot_acc, res_acc
 
-    if dynamic:
-        # θ recurrence + restart reset + freeze masking, exactly as in
-        # _fista_loop_dynamic (the reductions there are whole-plane; here
-        # they are the tile-interior accumulators)
-        th = th_in
-        if restart:
-            th = jnp.where(dot_acc > 0.0, one, th)
-        th_old_new = th
-        th_new = (1.0 + jnp.sqrt(1.0 + 4.0 * th * th)) / 2.0
-        if rel_tol is not None:
-            rel = jnp.sqrt(res_acc) / st_s[3]
-            st_s[2] = jnp.maximum(keep, (rel < rel_tol).astype(f32))
-            th_old_new = th_old + live * (th_old_new - th_old)
-            th_new = th_in + live * (th_new - th_in)
-        st_s[0] = th_new
-        st_s[1] = th_old_new
-        # m1_out = m1 + live·(x − m1) — BEFORE xc is overwritten
-        xm_s[...] = xm_s[...] + live * (xc_s[...] - xm_s[...])
-    else:
-        # rotate: x_{i-1} ← x_i, x_i ← x_{i+1} (cheap VMEM copies)
+
+def _kernel_vmem_fori(
+    scal_ref,  # SMEM (P, 2)
+    tab_ref,  # SMEM (iterations, 4)
+    x0_ref,  # VMEM (1, H, W)
+    out_ref,  # VMEM (1, H, W)
+    xc_s,  # VMEM scratch (H, W)
+    xm_s,  # VMEM scratch (H, W)
+    xn_s,  # VMEM scratch (H, W)
+    *,
+    H: int,
+    W: int,
+    TR: int,
+    halo: int,
+    taps: tuple,
+    tv_iterations: int,
+    iterations: int,
+    restart: bool = False,
+    rel_tol: float | None = None,
+):
+    """`_kernel_vmem` with the iteration axis as an in-kernel
+    `lax.fori_loop` instead of a grid dimension: grid = (problems,), one
+    grid step per problem, θ/done as scalar loop carries. Same math and
+    tiling; trades per-iteration grid-step dispatch overhead for a
+    traced loop (A/B-selectable via ``iter_loop="fori"``)."""
+    from jax import lax
+
+    p = pl.program_id(0)
+    f32 = xc_s.dtype
+    dynamic = restart or rel_tol is not None
+    one = jnp.asarray(1.0, f32)
+    rho = scal_ref[p, 0]
+    lam = scal_ref[p, 1]
+    # derive initial planes from a loaded ref, not a splatted constant
+    # (Mosaic relayout restriction on replicated fori carries also bites
+    # scratch stores feeding the loop on some versions)
+    xc_s[...] = x0_ref[0] * 0.0
+    xm_s[...] = x0_ref[0] * 0.0
+    norm_x0 = (
+        jnp.sqrt(jnp.sum(x0_ref[0] * x0_ref[0]))
+        if rel_tol is not None
+        else None
+    )
+
+    def body(i, carry):
+        th_in, th_old, done = carry
+        if dynamic:
+            a = (th_old - 1.0) / th_in
+            live = 1.0 - done  # freeze AFTER the detecting step
+        else:
+            a = tab_ref[i, 0]
+            live = None
+        dot_acc, res_acc = _fista_vmem_sweep(
+            x0_ref, xc_s, xm_s, xn_s, a, live, rho, lam,
+            H, W, TR, halo, taps, tv_iterations, restart, rel_tol,
+        )
+        if dynamic:
+            th = th_in
+            if restart:
+                th = jnp.where(dot_acc > 0.0, one, th)
+            th_old_new = th
+            th_new = (1.0 + jnp.sqrt(1.0 + 4.0 * th * th)) / 2.0
+            done_new = done
+            if rel_tol is not None:
+                rel = jnp.sqrt(res_acc) / norm_x0
+                done_new = jnp.maximum(done, (rel < rel_tol).astype(f32))
+                th_old_new = th_old + live * (th_old_new - th_old)
+                th_new = th_in + live * (th_new - th_in)
+            xm_s[...] = xm_s[...] + live * (xc_s[...] - xm_s[...])
+            xc_s[...] = xn_s[...]
+            return (th_new, th_old_new, done_new)
         xm_s[...] = xc_s[...]
-    xc_s[...] = xn_s[...]
-    out_ref[0] = xn_s[...]
+        xc_s[...] = xn_s[...]
+        return carry
+
+    lax.fori_loop(
+        0, iterations, body, (one, one, jnp.asarray(0.0, f32))
+    )
+    out_ref[0] = xc_s[...]
 
 
 def _kernel_vmem_pgm(
@@ -564,8 +662,13 @@ def fista_tv_tiled(
     restart: bool = False,
     rel_tol: float | None = None,
     sigma_fac: float = 1.0,
+    iter_loop: str = "grid",
 ):
     P, H, W = x0hat_b.shape
+    if iter_loop not in ("grid", "fori"):
+        raise ValueError(f"unknown iter_loop {iter_loop!r}")
+    if iter_loop == "fori" and mode == "hbm":
+        raise ValueError("iter_loop='fori' applies to the vmem variant only")
     kh = len(taps[0])
     cone = (tv_iterations + 1) + 2 * (kh // 2) + 1
     halo = -(-cone // 8) * 8
@@ -625,15 +728,26 @@ def fista_tv_tiled(
                 f"halo={halo}"
             )
         if method == "fista":
-            kern = functools.partial(
-                _kernel_vmem,
-                H=H, W=W, TR=TR, halo=halo, taps=taps,
-                tv_iterations=tv_iterations,
-                restart=restart, rel_tol=rel_tol,
-            )
-            scratch = [pltpu.VMEM((H, W), jnp.float32) for _ in range(3)]
-            scratch.append(pltpu.SMEM((4,), jnp.float32))
+            if iter_loop == "fori":
+                kern = functools.partial(
+                    _kernel_vmem_fori,
+                    H=H, W=W, TR=TR, halo=halo, taps=taps,
+                    tv_iterations=tv_iterations, iterations=iterations,
+                    restart=restart, rel_tol=rel_tol,
+                )
+                scratch = [pltpu.VMEM((H, W), jnp.float32) for _ in range(3)]
+            else:
+                kern = functools.partial(
+                    _kernel_vmem,
+                    H=H, W=W, TR=TR, halo=halo, taps=taps,
+                    tv_iterations=tv_iterations,
+                    restart=restart, rel_tol=rel_tol,
+                )
+                scratch = [pltpu.VMEM((H, W), jnp.float32) for _ in range(3)]
+                scratch.append(pltpu.SMEM((4,), jnp.float32))
         else:
+            if iter_loop == "fori":
+                raise ValueError("iter_loop='fori' is FISTA-only for now")
             kern = functools.partial(
                 _kernel_vmem_pgm,
                 H=H, W=W, TR=TR, halo=halo, taps=taps,
@@ -645,19 +759,22 @@ def fista_tv_tiled(
             scratch = [pltpu.VMEM((H, W), jnp.float32) for _ in range(n_planes)]
             if dynamic:
                 scratch.append(pltpu.SMEM((6,), jnp.float32))
+        if method == "fista" and iter_loop == "fori":
+            grid = (P,)
+            imap = lambda p: (p, 0, 0)
+        else:
+            grid = (P, iterations)
+            imap = lambda p, i: (p, 0, 0)
         return pl.pallas_call(
             kern,
-            grid=(P, iterations),
+            grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(
-                    (1, H, W), lambda p, i: (p, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
+                pl.BlockSpec((1, H, W), imap, memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, H, W), lambda p, i: (p, 0, 0), memory_space=pltpu.VMEM
+                (1, H, W), imap, memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((P, H, W), x0hat_b.dtype),
             scratch_shapes=scratch,
@@ -820,6 +937,7 @@ def solve_fista_tv_tiled(
     tile_rows: int | None = None,
     mode: str = "auto",
     early_exit: bool = False,
+    iter_loop: str = "grid",
 ):
     """Drop-in fast path for `solve_batched_unrolled(solver, B)` at image
     sizes beyond the monolithic kernel's VMEM ceiling (512², 1024², …).
@@ -874,5 +992,6 @@ def solve_fista_tv_tiled(
         restart=restart,
         rel_tol=rel_tol,
         sigma_fac=sigma_fac,
+        iter_loop=iter_loop,
     )
     return out.reshape(out.shape[0], H * W).T

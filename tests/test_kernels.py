@@ -724,6 +724,15 @@ def test_fista_tv_tiled_matches_composed(rng):
         )
     )
     np.testing.assert_allclose(got_v, want, rtol=0, atol=1e-4)
+    # ... and the fori-looped variant (iterations in-kernel, one grid
+    # step per problem) — same sweep body, so bitwise-same math
+    got_f = np.asarray(
+        solve_fista_tv_tiled(
+            solver, B, tile_rows=16, mode="vmem", interpret=True,
+            iter_loop="fori",
+        )
+    )
+    np.testing.assert_allclose(got_f, got_v, rtol=0, atol=0)
 
 
 def test_pgm_tv_tiled_optista_pogm_match_composed(rng):
@@ -773,6 +782,12 @@ def test_fista_tv_tiled_gradient_restart_matches_composed(rng):
                              interpret=True)
     )
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+    # fori variant: θ/done as scalar loop carries, same math
+    got_f = np.asarray(
+        solve_fista_tv_tiled(solver, B, tile_rows=8, mode="vmem",
+                             interpret=True, iter_loop="fori")
+    )
+    np.testing.assert_allclose(got_f, got, rtol=0, atol=0)
     # the restart must actually fire: the no-restart schedule differs
     base = rt.FISTA.create(
         solver.AHA.A, reg=solver.reg, iterations=12, rho=0.95, rel_tol=0.0,
@@ -800,6 +815,12 @@ def test_fista_tv_tiled_early_exit_matches_solve_batched(rng):
                              interpret=True, early_exit=True)
     )
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+    got_f = np.asarray(
+        solve_fista_tv_tiled(solver, B, tile_rows=8, mode="vmem",
+                             interpret=True, early_exit=True,
+                             iter_loop="fori")
+    )
+    np.testing.assert_allclose(got_f, got, rtol=0, atol=0)
     # ... and without the mask the tiled path runs all iterations
     full = np.asarray(
         solve_fista_tv_tiled(solver, B, tile_rows=8, mode="vmem",
