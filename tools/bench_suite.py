@@ -250,6 +250,31 @@ def main():
          np.linalg.norm(x6.T - np.asarray(xs6)) / np.linalg.norm(np.asarray(xs6)),
          timeit(f6, B6), B6n, "problems/s")
 
+    # ---- 7. FISTA-TV 1024² — the HBM-streamed tiled kernel ----------------
+    # (no VMEM-carry tile fits; exercises the rotating triple buffer +
+    # halo-window prefetch path)
+    N7, B7n = 1024, 8
+    op7 = rt.SeparableConvOperator.from_kernel(kern6, im_shape=(N7, N7))
+    s7 = rt.FISTA.create(
+        op7,
+        reg=rt.TVRegularization(5e-4, shape=(N7, N7), iterations_tv=10,
+                                unroll=True),
+        iterations=50, rho=0.95, rel_tol=0.0, track_residual=False,
+    )
+    imgs7 = np.zeros((B7n, N7, N7), np.float32)
+    for bb in range(B7n):
+        for _ in range(6):
+            i0, j0 = rng.integers(0, N7 - 128, size=2)
+            w7, h7 = rng.integers(32, 256, size=2)
+            imgs7[bb, i0:i0 + w7, j0:j0 + h7] += rng.normal()
+    xs7 = jnp.asarray(imgs7.reshape(B7n, N7 * N7))
+    B7 = jax.vmap(op7.mv)(xs7).T
+    f7 = jax.jit(lambda B_: solve_fista_tv_tiled(s7, B_))
+    x7 = np.asarray(f7(B7))
+    emit("fista_tv_1024_tiled_b8",
+         np.linalg.norm(x7.T - np.asarray(xs7)) / np.linalg.norm(np.asarray(xs7)),
+         timeit(f7, B7), B7n, "problems/s")
+
 
 if __name__ == "__main__":
     main()
