@@ -107,10 +107,12 @@ def main():
     # not reliably block through the tunneled runtime. Take the best of 8
     # windows of 4 reps to shed tunnel/scheduling noise — and RECORD every
     # window (VERDICT r2: the shared chip shows 2-3x window variance, so
-    # the spread must be part of the artifact, not just the best).
+    # the spread must be part of the artifact, not just the best). 12
+    # windows ≈ 9 s of timing — cheap insurance against an unlucky draw
+    # on the one number the driver records.
     reps = 4
     windows = []
-    for _ in range(8):
+    for _ in range(12):
         t0 = time.perf_counter()
         for _ in range(reps):
             out = solve_fn(B)
