@@ -1,5 +1,6 @@
 from .auto import solve_batched_fast
 from .admm_tv_fused import admm_tv_fused, solve_admm_tv_fused
+from .admm_tv_tiled import admm_tv_tiled, solve_admm_tv_tiled
 from .fista_l1_dft_fused import fista_l1_dft_fused, solve_fista_l1_dft_fused
 from .sense_fused import fista_l21_sense_fused, solve_fista_l21_sense_fused
 from .fista_tv_fused import fista_tv_fused, solve_fista_tv_fused, solve_pgm_tv_fused
@@ -32,6 +33,8 @@ __all__ = [
     "fista_l21_sense_fused",
     "solve_fista_l21_sense_fused",
     "solve_admm_tv_fused",
+    "admm_tv_tiled",
+    "solve_admm_tv_tiled",
     "prox_tv2d_fgp_pallas",
     "kaczmarz_sweep_pallas",
     "fista_tv_fused",

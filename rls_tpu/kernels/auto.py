@@ -19,6 +19,7 @@ from __future__ import annotations
 import warnings
 
 from .admm_tv_fused import check_admm_tv_fused, solve_admm_tv_fused
+from .admm_tv_tiled import check_admm_tv_tiled, solve_admm_tv_tiled
 from .fista_l1_dft_fused import (
     check_fista_l1_dft_fused,
     solve_fista_l1_dft_fused,
@@ -40,6 +41,8 @@ _FUSED_WRAPPERS = (
     # beyond the monolithic kernel's VMEM ceiling: row-tiled streaming
     ("fista_tv_tiled", check_fista_tv_tiled, solve_fista_tv_tiled),
     ("admm_tv", check_admm_tv_fused, solve_admm_tv_fused),
+    # beyond the monolithic ADMM kernel's VMEM ceiling: tiled z-update
+    ("admm_tv_tiled", check_admm_tv_tiled, solve_admm_tv_tiled),
     ("splitbregman_l1_tv", check_splitbregman_l1_tv_fused,
      solve_splitbregman_l1_tv_fused),
     ("fista_l1_dft", check_fista_l1_dft_fused, solve_fista_l1_dft_fused),

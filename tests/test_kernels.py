@@ -208,6 +208,47 @@ def test_admm_tv_fused_rejects_unsupported(rng):
         solve_admm_tv_fused(s, jnp.zeros((n, 2), jnp.float32))
 
 
+def test_admm_tv_tiled_matches_composed(rng):
+    """The row-tiled ADMM-TV kernel (untiled in-kernel CG + tiled FGP
+    z-update) must reproduce the composed unrolled ADMM exactly like the
+    monolithic kernel does — the tiling is exact (full-image scratch,
+    halo ≥ the FGP cone). tile_rows forces 3 tiles so clamped
+    top/middle/bottom windows all execute."""
+    import jax
+
+    from rls_tpu.kernels import solve_admm_tv_tiled
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    n, batch = 24, 3
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=4, unroll=True)
+    solver = rt.ADMM.create(
+        op, reg=reg, iterations=6, iterations_cg=5, unroll_cg=True, rho=0.1
+    )
+    X = jnp.asarray(rng.normal(size=(batch, n * n)), jnp.float32)
+    B = jax.vmap(op.mv)(X).T
+    want = np.asarray(jax.jit(solve_batched_unrolled)(solver, B))
+    got = np.asarray(
+        solve_admm_tv_tiled(solver, B, tile_rows=8, interpret=True)
+    )
+    # composed CPU path uses plain f32 matmuls, the kernel the VPU
+    # stencil gram — same tolerance as the monolithic-kernel test
+    np.testing.assert_allclose(got, want, rtol=0, atol=3e-4)
+
+
+def test_admm_tv_tiled_rejects_unsupported(rng):
+    from rls_tpu.kernels import solve_admm_tv_tiled
+
+    n = 8
+    A = rt.DenseOperator(jnp.asarray(rng.normal(size=(n, n)), jnp.float32))
+    s = rt.ADMM.create(A, reg=rt.L1Regularization(1e-3), iterations=3)
+    with pytest.raises(ValueError):
+        solve_admm_tv_tiled(s, jnp.zeros((n, 2), jnp.float32))
+
+
 def test_fista_l1_dft_fused_matches_composed(rng):
     """The fused FISTA-L1 split-real-DFT kernel must reproduce the composed
     unrolled path (BASELINE config #2's shape)."""

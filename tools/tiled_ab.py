@@ -123,6 +123,24 @@ def main():
         p1 = bench("512_vmem_pogm_restart", fp, B, 16)
         assert np.isfinite(p1).all()
 
+    if 512 in sizes:
+        # tiled ADMM-TV (untiled in-kernel CG + tiled FGP z-update)
+        import jax as _j
+
+        import rls_tpu as rt
+        from rls_tpu.kernels import solve_admm_tv_tiled
+
+        s, B, _ = build(512, 16, rng)
+        sa = rt.ADMM.create(
+            s.AHA.A,
+            reg=rt.TVRegularization(5e-4, shape=(512, 512),
+                                    iterations_tv=10, unroll=True),
+            iterations=10, iterations_cg=5, unroll_cg=True, rho=0.1,
+        )
+        fa = _j.jit(lambda B_: solve_admm_tv_tiled(sa, B_))
+        a1 = bench("512_admm_tiled", fa, B, 16)
+        assert np.isfinite(a1).all()
+
     if 1024 in sizes:
         s, B, _ = build(1024, 8, rng)
         import jax as _j
