@@ -250,6 +250,22 @@ def main():
          np.linalg.norm(x6.T - np.asarray(xs6)) / np.linalg.norm(np.asarray(xs6)),
          timeit(f6, B6), B6n, "problems/s")
 
+    # ---- 6b. ADMM-TV 512² — the tiled ADMM kernel (untiled in-kernel CG
+    # + row-tiled FGP z-update; the ADMM-family cliff fix) ------------------
+    from rls_tpu.kernels import solve_admm_tv_tiled
+
+    s6b = rt.ADMM.create(
+        op6,
+        reg=rt.TVRegularization(5e-4, shape=(N6, N6), iterations_tv=10,
+                                unroll=True),
+        iterations=10, iterations_cg=5, unroll_cg=True, rho=0.1,
+    )
+    f6b = jax.jit(lambda B_: solve_admm_tv_tiled(s6b, B_))
+    x6b = np.asarray(f6b(B6))
+    emit("admm_tv_512_tiled_b16",
+         np.linalg.norm(x6b.T - np.asarray(xs6)) / np.linalg.norm(np.asarray(xs6)),
+         timeit(f6b, B6), B6n, "problems/s")
+
     # ---- 7. FISTA-TV 1024² — the HBM-streamed tiled kernel ----------------
     # (no VMEM-carry tile fits; exercises the rotating triple buffer +
     # halo-window prefetch path)
