@@ -249,6 +249,28 @@ def test_admm_tv_tiled_rejects_unsupported(rng):
         solve_admm_tv_tiled(s, jnp.zeros((n, 2), jnp.float32))
 
 
+def test_admm_512_dispatch_monolithic_rejects_tiled_accepts():
+    """At 512² the monolithic fused ADMM kernel must reject on VMEM and
+    the tiled kernel must accept — so `solve_batched_fast`'s ordered
+    dispatch lands on the tiled path past the ceiling (check-level; the
+    512² kernel itself is exercised on chip by tools/tiled_ab.py)."""
+    from rls_tpu.kernels.admm_tv_fused import check_admm_tv_fused
+    from rls_tpu.kernels.admm_tv_tiled import check_admm_tv_tiled
+
+    n = 512
+    g = np.exp(-((np.arange(9) - 4) ** 2) / 8.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    reg = rt.TVRegularization(5e-4, shape=(n, n), iterations_tv=10,
+                              unroll=True)
+    s = rt.ADMM.create(op, reg=reg, iterations=10, iterations_cg=5,
+                       unroll_cg=True, rho=0.1)
+    with pytest.raises(ValueError, match="VMEM"):
+        check_admm_tv_fused(s)
+    check_admm_tv_tiled(s)  # must not raise
+
+
 def test_fista_l1_dft_fused_matches_composed(rng):
     """The fused FISTA-L1 split-real-DFT kernel must reproduce the composed
     unrolled path (BASELINE config #2's shape)."""
