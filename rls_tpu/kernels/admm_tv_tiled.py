@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ._fgp_common import (
-    make_sepconv_normal_stencil,
+    make_sepconv_normal_stencil_window,
     make_tv_fgp_window,
 )
 
@@ -74,14 +74,28 @@ def _kernel(
     f32 = x_s.dtype
     x0hat = x0_ref[0]
 
-    normal = make_sepconv_normal_stencil(taps[0], taps[1], H, W, f32)
+    # the matvec's dependence cone is just the separable stencil reach —
+    # far smaller than the FGP cone, so its tile windows are cheap
+    kh = max(len(taps[0]), len(taps[1]))
+    halo_mv = -(-(kh // 2 + 1) // 8) * 8
+    T = H // TR
 
-    def matvec(v):  # composite AᴴA + ρI
-        return normal(v) + rho * v
+    def matvec_into(dst, src):
+        """dst ← (AᴴA + ρI) src, row-tiled (windowed stencil gram +
+        pointwise ρ·src on interiors). dst and src must be distinct."""
+        for t in range(T):
+            lo = max(0, t * TR - halo_mv)
+            hi = min(H, (t + 1) * TR + halo_mv)
+            off = t * TR - lo
+            normal = make_sepconv_normal_stencil_window(
+                taps[0], taps[1], H, W, hi - lo, lo, f32
+            )
+            v = normal(src[lo:hi, :])
+            sl = slice(t * TR, (t + 1) * TR)
+            dst[sl, :] = v[off : off + TR, :] + rho * src[sl, :]
 
     rho_safe = jnp.where(rho != 0, rho, 1.0)
     lam_z = lam / (2.0 * rho_safe)
-    T = H // TR
 
     # initial carries derived from a loaded ref (not a splatted constant)
     x_s[...] = x0hat * 0.0
@@ -92,16 +106,16 @@ def _kernel(
         # --- x-update: CG on (AᴴA + ρI) x = Aᴴb + ρ(z − u) ----------------
         beta = x0hat + rho * (z_s[...] - u_s[...])
         target = tol_inner * jnp.sqrt(jnp.sum(beta * beta))
-        r0 = beta - matvec(x_s[...])
-        r_s[...] = r0
-        p_s[...] = r0
+        matvec_into(r_s, x_s)  # r ← (AᴴA + ρI) x
+        r_s[...] = beta - r_s[...]
+        p_s[...] = r_s[...]
+        r0z = jnp.sum(r_s[...] * r_s[...])
 
         def cg_body(_, rz):
             # masked fixed-iteration CG step == pcg(unroll=True)
             # (base.py) on scratch refs; `active` uses ‖r‖ = √rz
-            q = matvec(p_s[...])
-            q_s[...] = q
-            pq = jnp.sum(p_s[...] * q)
+            matvec_into(q_s, p_s)
+            pq = jnp.sum(p_s[...] * q_s[...])
             active = jnp.sqrt(rz) > target
             denom = jnp.where(pq == 0, 1.0, pq)
             alpha = jnp.where(active, rz / denom, 0.0)
@@ -114,7 +128,7 @@ def _kernel(
             p_s[...] = jnp.where(active, r_s[...] + beta_c * p_s[...], p_s[...])
             return rz_new
 
-        lax.fori_loop(0, cg_iterations, cg_body, jnp.sum(r0 * r0))
+        lax.fori_loop(0, cg_iterations, cg_body, r0z)
 
         # --- z-update: row-tiled TV-FGP prox of x + u ---------------------
         for t in range(T):
@@ -141,11 +155,12 @@ def pick_tile_rows_admm(
     H: int, W: int, halo: int, vmem_budget: int | None = None
 ):
     """Largest 8-multiple divisor of H whose working set fits: 6 full
-    scratch planes + x0/out blocks + ~4 live matvec temp planes + ~10
-    tile-sized FGP planes. Returns None when nothing fits (fall back to
-    the monolithic kernel or the composed path)."""
+    scratch planes + x0/out blocks + ~10 tile-sized FGP planes (the
+    matvec is also tiled, with a far smaller halo, so the FGP tiles
+    dominate). Returns None when nothing fits (fall back to the
+    monolithic kernel or the composed path)."""
     budget = vmem_budget if vmem_budget is not None else 14 * 1024 * 1024
-    fixed = (6 + 2 + 4) * H * W * 4
+    fixed = (6 + 2) * H * W * 4
     best = None
     for tr in range(8, H + 1, 8):
         if H % tr:
