@@ -30,6 +30,7 @@ from .models.regularization import (
     SystemMatrixBasedNormalization,
     TransformedRegularization,
 )
+from .models.regularization import find_sinks, reg_chain, sink, sink_type
 from .callbacks import (
     CompareSolutionCallback,
     StoreConvergenceCallback,
@@ -92,7 +93,9 @@ from .ops import (
     SubsampledFFTOperator,
     SubsampledDFT2RealOperator,
     SenseDFT2RealOperator,
+    WaveletOperator,
     WeightingOperator,
+    max_wavelet_levels,
 )
 from .utils import load_state, nrmsd, power_iterations, resume, save_state, time_solver, trace
 

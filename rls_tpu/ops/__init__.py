@@ -17,6 +17,7 @@ from .fourier import ConvolutionOperator, FFTOperator, SubsampledFFTOperator
 from .grad import Grad8Operator, GradientOperator
 from .radon import RadonOperator
 from .sparse import PaddedCSROperator, SparseOperator
+from .wavelet import WaveletOperator, max_wavelet_levels
 
 __all__ = [
     "LinearOperator",
@@ -40,6 +41,8 @@ __all__ = [
     "SenseDFT2RealOperator",
     "FunctionOperator",
     "RadonOperator",
+    "WaveletOperator",
+    "max_wavelet_levels",
     "as_operator",
     "adjoint_operator",
 ]

@@ -295,3 +295,78 @@ def test_dense_operator_compensated(rng):
                      jnp.complex64)
     out = np.asarray(op_c.mv(xc))
     assert out.dtype == np.complex64 and np.isfinite(out).all()
+
+
+# --------------------------------------------------------------------------
+# WaveletOperator (ops/wavelet.py) — reference docs' WaveletOp analog
+# (docs/src/literate/explanations/regularization.jl:50-88)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("wavelet", ["haar", "db2", "db4"])
+@pytest.mark.parametrize("shape", [(64,), (16, 32)])
+def test_wavelet_perfect_reconstruction(rng, wavelet, shape):
+    op = rt.WaveletOperator(shape, wavelet=wavelet)
+    assert op.levels >= 1
+    x = jnp.asarray(rng.normal(size=(op.in_size,)), jnp.float32)
+    y = op.mv(x)
+    # orthogonal: energy preserved and adjoint == inverse
+    np.testing.assert_allclose(
+        float(jnp.vdot(y, y).real), float(jnp.vdot(x, x).real), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(op.rmv(y)), np.asarray(x), atol=1e-5)
+    _adjoint_check(op, rng)
+
+
+def test_wavelet_dense_orthogonal(rng):
+    op = rt.WaveletOperator((16, 16), wavelet="db2", levels=2)
+    W = np.asarray(op.to_dense())
+    np.testing.assert_allclose(W.T @ W, np.eye(256), atol=1e-5)
+
+
+def test_wavelet_haar_constant_packs_top_left():
+    lev = 3
+    op = rt.WaveletOperator((32, 32), wavelet="haar", levels=lev)
+    c = 0.7
+    y = np.asarray(op.mv(jnp.full((32 * 32,), c, jnp.float32)))
+    y = y.reshape(32, 32)
+    n = 32 >> lev
+    # approximation band = c * 2^lev (per axis √2 gain), details exactly 0
+    np.testing.assert_allclose(y[:n, :n], c * (2.0**lev), rtol=1e-5)
+    assert np.max(np.abs(y[n:, :])) < 1e-5 and np.max(np.abs(y[:n, n:])) < 1e-5
+
+
+def test_wavelet_complex_componentwise(rng):
+    op = rt.WaveletOperator((32,), wavelet="db2", _dtype=jnp.complex64)
+    re = jnp.asarray(rng.normal(size=(32,)), jnp.float32)
+    im = jnp.asarray(rng.normal(size=(32,)), jnp.float32)
+    yc = np.asarray(op.mv(re + 1j * im))
+    np.testing.assert_allclose(yc.real, np.asarray(op.mv(re)), atol=1e-6)
+    np.testing.assert_allclose(yc.imag, np.asarray(op.mv(im)), atol=1e-6)
+
+
+def test_wavelet_validation_errors():
+    with pytest.raises(ValueError, match="unknown wavelet"):
+        rt.WaveletOperator((32,), wavelet="sym9")
+    with pytest.raises(ValueError, match="divisible"):
+        rt.WaveletOperator((24,), wavelet="haar", levels=4)
+    with pytest.raises(ValueError, match="too short"):
+        rt.WaveletOperator((16,), wavelet="db4", levels=3)
+    with pytest.raises(ValueError, match="1-D and 2-D"):
+        rt.WaveletOperator((4, 4, 4), wavelet="haar")
+    # 64 → 32 → 16 → 8 → 4: five levels; the 5th-level input length equals
+    # the db2 filter length (4), the shortest valid periodized signal
+    assert rt.max_wavelet_levels((64, 64), "db2") == 5
+
+
+def test_wavelet_transformed_l1_prox(rng):
+    """TransformedRegularization(L1, W) == Wᴴ soft(Wx) — the reference
+    docs' wavelet-domain soft-thresholding workflow."""
+    op = rt.WaveletOperator((16, 16), wavelet="db2")
+    reg = rt.TransformedRegularization(rt.L1Regularization(0.1), op)
+    x = jnp.asarray(rng.normal(size=(256,)), jnp.float32)
+    got = np.asarray(reg.prox(x))
+    from rls_tpu.models.prox import soft_threshold
+
+    want = np.asarray(op.rmv(soft_threshold(op.mv(x), 0.1)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
