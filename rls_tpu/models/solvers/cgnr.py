@@ -127,17 +127,27 @@ class CGNR(LinearSolver):
         pv = jnp.vdot(state.p, v)
         lam = state.lam
         denom = pv + lam * jnp.linalg.norm(state.p) ** 2
-        alpha = zeta / denom
+        # guarded divisions: at exact convergence r = p = 0 ⇒ ζ = denom = 0,
+        # and the raw 0/0 would poison the unrolled (no-early-exit) paths —
+        # with the guards the step is the identity there, so running past
+        # convergence is harmless (same guards as the in-kernel masked CGs)
+        alpha = jnp.where(zeta > 0, zeta / jnp.where(denom == 0, 1, denom), 0)
         x = state.x + alpha * state.p
         r = state.r - alpha * v - (lam * alpha) * state.p
-        beta = jnp.linalg.norm(r) ** 2 / zeta
+        beta = jnp.linalg.norm(r) ** 2 / jnp.where(zeta > 0, zeta, 1)
         p = r + beta * state.p
         return replace(state, x=x, r=r, p=p, iteration=state.iteration + 1)
 
+    @property
+    def total_steps(self) -> int:
+        # CG terminates in ≤ n steps (reference CGNR.jl caps the same
+        # way); the unrolled fixed-step paths must mirror this so they
+        # match the early-exit scan path exactly
+        return min(self.iterations, self.AHA.in_size)
+
     def done(self, state: CGNRState):
         converged = jnp.linalg.norm(state.r) / state.z0 <= state.rel_tol
-        maxit = min(self.iterations, self.AHA.in_size)
-        return jnp.logical_or(converged, state.iteration >= maxit)
+        return jnp.logical_or(converged, state.iteration >= self.total_steps)
 
     def finalize(self, state: CGNRState) -> CGNRState:
         # projections applied once at convergence (reference CGNR.jl:144-148)

@@ -344,3 +344,19 @@ def test_deprecated_shims(rng):
         assert vec_reg([l1]) == [l1]
     with pytest.raises(RuntimeError, match="separate inputs"):
         ConstraintTransformedRegularization(l1)
+
+
+def test_cgnr_unrolled_past_convergence_stays_finite(rng):
+    """CG reaches exact convergence in ≤ n steps on a small system; the
+    unrolled (no-early-exit) path keeps stepping past it, and the raw
+    0/0 in α = ζ/denom used to poison it with NaNs. The guarded step is
+    the identity at convergence, so unrolled == scan."""
+    from rls_tpu.models.solvers.base import solve_unrolled
+
+    A = jnp.asarray(rng.normal(size=(24, 16)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(24,)).astype(np.float32))
+    s = rt.CGNR.create(A, reg=rt.L2Regularization(1e-3), iterations=60)
+    x_scan = np.asarray(solve(s, b))
+    x_unrolled = np.asarray(solve_unrolled(s, b))
+    assert np.isfinite(x_unrolled).all()
+    np.testing.assert_allclose(x_unrolled, x_scan, rtol=1e-5, atol=1e-6)
