@@ -29,6 +29,7 @@ from ..ops._precise import split_bf16
 
 __all__ = [
     "make_tv_fgp",
+    "make_tv_fgp_stateful",
     "make_tv_fgp_window",
     "make_gram_normal",
     "make_gram_normal_noconcat",
@@ -472,5 +473,82 @@ def make_tv_fgp(H: int, W: int, dtype, groups: int = 1, unroll: bool = False):
             rh = (1.0 + t2) * qh - t2 * ph
             pv, ph = qv, qh
         return xg - gt(pv, ph)
+
+    return gt, (fgp_unrolled if unroll else fgp_loop)
+
+
+def make_tv_fgp_stateful(
+    H: int, W: int, dtype, groups: int = 1, unroll: bool = False
+):
+    """`make_tv_fgp` variant whose FGP loop takes and returns its dual
+    fields: ``fgp(xg, lam_tv, iterations, (pv, ph)) -> (x, (pv, ph))``.
+
+    Carrying the duals across a solver's outer iterations WARM-STARTS the
+    prox: successive TV subproblems differ only by one gradient step of
+    the iterate, so the previous optimal duals are a near-optimal start
+    and far fewer inner iterations reach the same prox accuracy. The FGP
+    momentum restarts every call (r ← p, t ← 1) — plain FISTA momentum carried
+    across different subproblems diverges.
+
+    The duals are λ-scaled (P = λ·p, like the unrolled cold loop), which
+    keeps the carry consistent across calls as long as ``lam_tv`` is the
+    SAME every call — true for FISTA's fixed ρλ, NOT for OptISTA/POGM's
+    per-iteration γλ (callers must gate on that). The zero init
+    (= cold FGP) is the all-zeros pair; clamping re-masks the boundary
+    rows every iteration, so stale duals can never leak outside the
+    feasible set.
+    """
+    GH = groups * H
+    row = lax.broadcasted_iota(jnp.int32, (GH, W), 0) % H
+    col = lax.broadcasted_iota(jnp.int32, (GH, W), 1)
+    not_last_row = (row < H - 1).astype(dtype)
+    not_last_col = (col < W - 1).astype(dtype)
+
+    def gv(u):
+        return pltpu.roll(u, GH - 1, 0) - u
+
+    def gh(u):
+        return pltpu.roll(u, W - 1, 1) - u
+
+    def gt(pv, ph):
+        tv = pltpu.roll(pv, 1, 0) - pv
+        th = pltpu.roll(ph, 1, 1) - ph
+        return tv + th
+
+    def fgp_unrolled(xg, lam_tv, iterations: int, duals):
+        pv, ph = duals
+        rv, rh = pv, ph  # momentum restart: r ← p, t ← 1
+        t2s = _fgp_t2_schedule(iterations)
+        for i in range(iterations):
+            xtmp = xg - gt(rv, rh)
+            qv = jnp.clip(rv + gv(xtmp) * 0.125, -lam_tv, lam_tv) * not_last_row
+            qh = jnp.clip(rh + gh(xtmp) * 0.125, -lam_tv, lam_tv) * not_last_col
+            t2 = t2s[i]  # t2s[0] = 0 ⇒ iteration 0 is the plain step
+            rv = (1.0 + t2) * qv - t2 * pv
+            rh = (1.0 + t2) * qh - t2 * ph
+            pv, ph = qv, qh
+        return xg - gt(pv, ph), (pv, ph)
+
+    def fgp_loop(xg, lam_tv, iterations: int, duals):
+        pv0, ph0 = duals
+
+        def body(_, carry):
+            pv, ph, rv, rh, t = carry
+            xtmp = xg - gt(rv, rh)
+            qv = jnp.clip(rv + gv(xtmp) * 0.125, -lam_tv, lam_tv) * not_last_row
+            qh = jnp.clip(rh + gh(xtmp) * 0.125, -lam_tv, lam_tv) * not_last_col
+            t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) / 2.0
+            t2 = (t - 1.0) / t_new
+            rv_new = (1.0 + t2) * qv - t2 * pv
+            rh_new = (1.0 + t2) * qh - t2 * ph
+            return (qv, qh, rv_new, rh_new, t_new)
+
+        pv, ph, _, _, _ = lax.fori_loop(
+            0,
+            iterations,
+            body,
+            (pv0, ph0, pv0, ph0, jnp.asarray(1.0, dtype)),
+        )
+        return xg - gt(pv, ph), (pv, ph)
 
     return gt, (fgp_unrolled if unroll else fgp_loop)

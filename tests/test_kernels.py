@@ -984,3 +984,93 @@ def test_fista_tv_tiled_rejects_unsupported(rng):
     with pytest.raises(ValueError, match="FISTA/POGM"):
         solve_fista_tv_tiled(so, jnp.zeros((n * n, 1), jnp.float32),
                              early_exit=True)
+
+
+def _warm_tv_problem(rng, n, batch, lam, tv_iters, iterations):
+    import jax
+
+    g = np.exp(-((np.arange(7) - 3) ** 2) / 4.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    reg = rt.TVRegularization(
+        lam, shape=(n, n), iterations_tv=tv_iters, unroll=True
+    )
+    solver = rt.FISTA.create(
+        op, reg=reg, iterations=iterations, rho=0.9, rel_tol=0.0,
+        track_residual=False,
+    )
+    X = jnp.asarray(rng.normal(size=(batch, n * n)), jnp.float32)
+    B = jax.vmap(op.mv)(X).T
+    return op, solver, B
+
+
+def test_fista_tv_fused_warm_equals_cold_at_convergence(rng):
+    """With enough inner iterations both the cold and the warm-dual FGP
+    solve the prox exactly, so the outer trajectories must coincide."""
+    from rls_tpu.kernels import solve_pgm_tv_fused
+
+    _, solver, B = _warm_tv_problem(
+        rng, n=24, batch=3, lam=1e-3, tv_iters=60, iterations=8
+    )
+    cold = np.asarray(solve_pgm_tv_fused(solver, B))
+    warm = np.asarray(solve_pgm_tv_fused(solver, B, warm_tv=True))
+    np.testing.assert_allclose(warm, cold, rtol=0, atol=2e-4)
+
+
+def test_fista_tv_fused_warm_beats_cold_per_inner_iteration():
+    """warm_tv's measured value (and its limits): in the converged
+    regime of a piecewise-constant deblurring problem the carried duals
+    land the trajectory ~20% closer to the exact-prox reference than a
+    cold start with the SAME inner budget. (Early outer iterations see
+    no gain — the subproblems still move too fast for stale duals to
+    help — so warm_tv is an accuracy refinement, not an inner-iteration
+    discount; measured curves in the docstring of `_fista_loop_warm`.)"""
+    import jax
+
+    from rls_tpu._pytree import replace
+    from rls_tpu.kernels import solve_pgm_tv_fused
+
+    rng = np.random.default_rng(3)
+    n, batch = 32, 2
+    ax = np.arange(7) - 3
+    g = np.exp(-(ax**2) / (2 * 1.5**2))
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    img = np.zeros((batch, n, n), np.float32)
+    for b in range(batch):
+        for _ in range(5):
+            i0, j0 = rng.integers(0, n - 8, size=2)
+            w, h = rng.integers(4, n // 3, size=2)
+            img[b, i0 : i0 + w, j0 : j0 + h] += rng.normal()
+    B = jax.vmap(op.mv)(jnp.asarray(img.reshape(batch, n * n))).T
+    reg = rt.TVRegularization(
+        5e-4, shape=(n, n), iterations_tv=60, unroll=True
+    )
+    solver = rt.FISTA.create(
+        op, reg=reg, iterations=40, rho=0.95, rel_tol=0.0,
+        track_residual=False,
+    )
+    ref = np.asarray(solve_pgm_tv_fused(solver, B))  # exact-prox trajectory
+
+    def with_tv(k):
+        return replace(solver, reg=replace(solver.reg, iterations_tv=k))
+
+    warm10 = np.asarray(solve_pgm_tv_fused(with_tv(10), B, warm_tv=True))
+    cold10 = np.asarray(solve_pgm_tv_fused(with_tv(10), B))
+    err_warm = np.linalg.norm(warm10 - ref) / np.linalg.norm(ref)
+    err_cold = np.linalg.norm(cold10 - ref) / np.linalg.norm(ref)
+    assert err_warm < 0.9 * err_cold, (err_warm, err_cold)
+
+
+def test_fista_tv_fused_warm_rejects_unsupported(rng):
+    from rls_tpu._pytree import replace
+    from rls_tpu.kernels import solve_pgm_tv_fused
+
+    _, solver, B = _warm_tv_problem(
+        rng, n=24, batch=3, lam=1e-3, tv_iters=5, iterations=4
+    )
+    s_restart = replace(solver, restart="gradient")
+    with pytest.raises(ValueError, match="warm_tv"):
+        solve_pgm_tv_fused(s_restart, B, warm_tv=True)

@@ -48,6 +48,10 @@ VARIANTS = [
     ("stencil_g1_unroll", dict(gram="stencil", group=1, fgp_unroll=True)),
     ("stencil_g2_unroll", dict(gram="stencil", group=2, fgp_unroll=True)),
     ("noconcat_g2_unroll", dict(gram="noconcat", group=2, fgp_unroll=True)),
+    # warm-started TV duals (accuracy refinement; expect ≈ cold timing —
+    # vs_ref shows the trajectory delta, CPU-measured ~1e-4 at tv=10)
+    ("noconcat_g1_warm", dict(gram="noconcat", group=1, fgp_unroll=True,
+                              warm_tv=True)),
 ]
 if len(sys.argv) > 1:
     sel = set(sys.argv[1:])
@@ -67,6 +71,7 @@ def make_fn(cfg):
             x0, l_, r_, solver.rho, lam_eff, ITERS, reg.iterations_tv,
             interpret=interp, method="fista", gram=gram, taps=tp,
             group=cfg["group"], fgp_unroll=cfg["fgp_unroll"],
+            warm_tv=cfg.get("warm_tv", False),
         )
 
     return jax.jit(f)
