@@ -42,3 +42,31 @@ solver = rt.FISTA.create(
 x = jax.jit(rt.solve)(solver, b)
 print("FISTA-TV rel. error:",
       float(jnp.linalg.norm(x - x_true) / jnp.linalg.norm(x_true)))
+
+# FISTA with an L1-wavelet sparsity prior (the docs' WaveletOp workflow:
+# reference explanations/regularization.jl nests L1 around the transform).
+# Wavelet atoms are coherent with uniform-random Fourier masks at coarse
+# scales, so CS practice samples with VARIABLE DENSITY — dense at low
+# frequencies, sparse at high:
+ky, kx = np.meshgrid(np.fft.fftfreq(N), np.fft.fftfreq(N), indexing="ij")
+rad = np.sqrt(ky**2 + kx**2).reshape(-1)
+pdf = 1.0 / (1.0 + (rad / 0.08) ** 2)
+pdf /= pdf.sum()
+idx_vd = np.sort(rng.choice(n2, size=int(0.4 * n2), replace=False, p=pdf))
+idx_vd[0] = 0
+op_vd = rt.SubsampledFFTOperator(
+    sample_idx=jnp.asarray(idx_vd, jnp.int32), im_shape=(N, N)
+)
+b_vd = op_vd.mv(x_true)
+
+wop = rt.WaveletOperator((N, N), wavelet="haar", _dtype=jnp.complex64)
+solver = rt.FISTA.create(
+    op_vd,
+    reg=rt.TransformedRegularization(rt.L1Regularization(3e-3), wop),
+    iterations=150,
+    rho=0.95,
+)
+x_w = jax.jit(rt.solve)(solver, b_vd)
+err_w = float(jnp.linalg.norm(x_w - x_true) / jnp.linalg.norm(x_true))
+print("FISTA-L1-wavelet (variable-density mask) rel. error:", err_w)
+assert err_w < 0.01
