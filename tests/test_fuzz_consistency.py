@@ -156,3 +156,60 @@ def test_fuzz_projection_extras(seed):
         x = np.asarray(rt.solve(solver, b))
         assert np.isfinite(x).all()
         assert x.min() >= -1e-6, f"{name} violated positivity: {x.min()}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "Kaczmarz",
+        "CGNR",
+        "FISTA",
+        "OptISTA",
+        "POGM",
+        "ADMM",
+        "SplitBregman",
+        "PDHG",
+        "DirectSolver",
+        "PseudoInverse",
+    ],
+)
+def test_fuzz_complex_invariants(name):
+    """The same invariants over ℂ (reference testSolvers.jl runs every
+    solver on complex systems): finite, objective non-increasing, and the
+    trace path's final iterate equals `solve`'s (both honor done())."""
+    rng = np.random.default_rng(zlib.crc32(name.encode()))
+    n, m = 12, 18
+    A = (
+        (rng.normal(size=(m, n)) + 1j * rng.normal(size=(m, n))) / np.sqrt(m)
+        + 0.3 * np.eye(m, n)
+    ).astype(np.complex64)
+    x_t = (rng.normal(size=(n,)) + 1j * rng.normal(size=(n,))).astype(
+        np.complex64
+    )
+    b = jnp.asarray(A @ x_t)
+    A = jnp.asarray(A)
+    lam = 1e-3
+    reg = (
+        rt.L2Regularization(lam)
+        if name in {"Kaczmarz", "CGNR", "DirectSolver", "PseudoInverse"}
+        else rt.L1Regularization(lam)
+    )
+    solver = rt.create_linear_solver(
+        name, A, reg=reg, iterations=ITERS.get(name, 40), kwarg_warning=False
+    )
+    x = rt.solve(solver, b)
+    x_np = np.asarray(x)
+    assert np.isfinite(x_np).all().item(), f"{name}: non-finite (complex)"
+
+    def obj(v):
+        return 0.5 * float(jnp.sum(jnp.abs(A @ v - b) ** 2)) + float(
+            reg.value(v)
+        )
+
+    assert obj(x) <= obj(jnp.zeros_like(x)) * (1 + 1e-5) + 1e-6
+
+    x_tr, _ = rt.solve_trace(solver, b)
+    np.testing.assert_allclose(
+        x_np, np.asarray(x_tr), rtol=2e-4, atol=2e-5,
+        err_msg=f"{name}: solve vs solve_trace disagree",
+    )
