@@ -146,6 +146,17 @@ def main():
     results["llr_prox"] = (np.isfinite(got).all(), 0.0)
     print("nuclear/llr prox: finite on chip", file=sys.stderr)
 
+    # wavelet operator (rolls + strided slices only): perfect
+    # reconstruction must hold on chip exactly as on CPU
+    wop = rt.WaveletOperator((64, 64), wavelet="db2")
+    xw = jnp.asarray(rng.normal(size=(64 * 64,)).astype(np.float32))
+    got = np.asarray(jax.jit(lambda v: wop.rmv(wop.mv(v)))(xw))
+    dev_err = float(np.linalg.norm(got - np.asarray(xw)) /
+                    np.linalg.norm(np.asarray(xw)))
+    results["wavelet_roundtrip"] = (np.isfinite(got).all(), dev_err)
+    print(f"wavelet_roundtrip: rel_err={dev_err:.2e}", file=sys.stderr)
+    assert dev_err < 1e-5, "orthogonal DWT must reconstruct on chip"
+
     bad = [k for k, (ok, err) in results.items() if not ok or err > 0.9]
     print("SMOKE", "PASS" if not bad else f"FAIL {bad}")
     return 0 if not bad else 1
