@@ -24,7 +24,6 @@ print("prox_+([2.0, -0.2]):", np.asarray(positive.prox(jnp.asarray([2.0, -0.2]))
 
 # --- nested terms: L1 soft-thresholding in the wavelet domain --------------
 # (reference explanation nests L1Regularization around a WaveletOp)
-rng = np.random.default_rng(0)
 N = 64
 yy, xx = np.mgrid[0:N, 0:N]
 image = ((xx - N / 2) ** 2 / 400 + (yy - N / 2) ** 2 / 200 < 1).astype(np.float32)

@@ -382,6 +382,61 @@ def _fgp_t2_schedule(iterations: int):
     return out
 
 
+def _fgp_grid(H: int, W: int, dtype, groups: int):
+    """Shared FGP machinery: per-problem boundary masks (period-H row
+    index under ``groups`` stacking) and the gradient/adjoint stencils.
+    One home for what `make_tv_fgp` and `make_tv_fgp_stateful` build."""
+    GH = groups * H
+    row = lax.broadcasted_iota(jnp.int32, (GH, W), 0) % H
+    col = lax.broadcasted_iota(jnp.int32, (GH, W), 1)
+    not_last_row = (row < H - 1).astype(dtype)
+    not_last_col = (col < W - 1).astype(dtype)
+
+    def gv(u):
+        return pltpu.roll(u, GH - 1, 0) - u
+
+    def gh(u):
+        return pltpu.roll(u, W - 1, 1) - u
+
+    def gt(pv, ph):
+        tv = pltpu.roll(pv, 1, 0) - pv
+        th = pltpu.roll(ph, 1, 1) - ph
+        return tv + th
+
+    return GH, not_last_row, not_last_col, gv, gh, gt
+
+
+def _fgp_unrolled_scaled(
+    xg, lam_tv, iterations, duals, gv, gh, gt, not_last_row, not_last_col
+):
+    """Statically-unrolled λ-scaled FGP dual loop (duals carry P = λ·p,
+    momentum t2 baked as constants). ``duals=None`` is the cold start —
+    iteration 0 (all duals zero) collapses to a single gradient+clip, the
+    λ = 0 clamp pins the duals to exactly zero so the prox degenerates to
+    the identity. Returns ``(x, (pv, ph))``."""
+    if duals is None:
+        if iterations == 0:
+            z = xg * 0.0
+            return xg, (z, z)
+        pv = jnp.clip(gv(xg) * 0.125, -lam_tv, lam_tv) * not_last_row
+        ph = jnp.clip(gh(xg) * 0.125, -lam_tv, lam_tv) * not_last_col
+        start = 1
+    else:
+        pv, ph = duals
+        start = 0
+    rv, rh = pv, ph  # momentum restart: r ← p, t ← 1
+    t2s = _fgp_t2_schedule(iterations)
+    for i in range(start, iterations):
+        xtmp = xg - gt(rv, rh)
+        qv = jnp.clip(rv + gv(xtmp) * 0.125, -lam_tv, lam_tv) * not_last_row
+        qh = jnp.clip(rh + gh(xtmp) * 0.125, -lam_tv, lam_tv) * not_last_col
+        t2 = t2s[i]  # t2s[0] = 0 ⇒ iteration 0 is the plain step
+        rv = (1.0 + t2) * qv - t2 * pv
+        rh = (1.0 + t2) * qh - t2 * ph
+        pv, ph = qv, qh
+    return xg - gt(pv, ph), (pv, ph)
+
+
 def make_tv_fgp(H: int, W: int, dtype, groups: int = 1, unroll: bool = False):
     """Returns `(gt, fgp)`:
 
@@ -407,23 +462,9 @@ def make_tv_fgp(H: int, W: int, dtype, groups: int = 1, unroll: bool = False):
     zero) collapses to a single gradient+clip. Identical math up to f32
     rounding; ~20% fewer VPU ops per dual iteration.
     """
-    GH = groups * H
-    row = lax.broadcasted_iota(jnp.int32, (GH, W), 0) % H
-    col = lax.broadcasted_iota(jnp.int32, (GH, W), 1)
-    not_last_row = (row < H - 1).astype(dtype)
-    not_last_col = (col < W - 1).astype(dtype)
-
-    def gv(u):
-        return pltpu.roll(u, GH - 1, 0) - u
-
-    def gh(u):
-        return pltpu.roll(u, W - 1, 1) - u
-
-    def gt(pv, ph):
-        tv = pltpu.roll(pv, 1, 0) - pv
-        th = pltpu.roll(ph, 1, 1) - ph
-        return tv + th
-
+    GH, not_last_row, not_last_col, gv, gh, gt = _fgp_grid(
+        H, W, dtype, groups
+    )
     zeros = jnp.zeros((GH, W), dtype)
 
     def fgp_loop(xg, lam_tv, iterations: int):
@@ -454,25 +495,12 @@ def make_tv_fgp(H: int, W: int, dtype, groups: int = 1, unroll: bool = False):
         return xg - lam_tv * gt(pv, ph)
 
     def fgp_unrolled(xg, lam_tv, iterations: int):
-        # λ-scaled duals: P = λ·p ⇒ xtmp = xg − gt(R), clamp at ±λ. The
-        # division 1/(8λ) disappears entirely (λ = 0 clamps the duals to
-        # exactly zero, returning xg — the prox of a zero-strength TV).
-        t2s = _fgp_t2_schedule(iterations)
-        # iteration 0: duals are zero ⇒ xtmp = xg, t2_0 = 0 ⇒ R = Q = P
-        if iterations == 0:
-            return xg
-        pv = jnp.clip(gv(xg) * 0.125, -lam_tv, lam_tv) * not_last_row
-        ph = jnp.clip(gh(xg) * 0.125, -lam_tv, lam_tv) * not_last_col
-        rv, rh = pv, ph
-        for i in range(1, iterations):
-            xtmp = xg - gt(rv, rh)
-            qv = jnp.clip(rv + gv(xtmp) * 0.125, -lam_tv, lam_tv) * not_last_row
-            qh = jnp.clip(rh + gh(xtmp) * 0.125, -lam_tv, lam_tv) * not_last_col
-            t2 = t2s[i]
-            rv = (1.0 + t2) * qv - t2 * pv
-            rh = (1.0 + t2) * qh - t2 * ph
-            pv, ph = qv, qh
-        return xg - gt(pv, ph)
+        # λ-scaled duals: P = λ·p ⇒ xtmp = xg − gt(R), clamp at ±λ (the
+        # division 1/(8λ) disappears entirely); cold start = duals None
+        return _fgp_unrolled_scaled(
+            xg, lam_tv, iterations, None,
+            gv, gh, gt, not_last_row, not_last_col,
+        )[0]
 
     return gt, (fgp_unrolled if unroll else fgp_loop)
 
@@ -498,36 +526,15 @@ def make_tv_fgp_stateful(
     rows every iteration, so stale duals can never leak outside the
     feasible set.
     """
-    GH = groups * H
-    row = lax.broadcasted_iota(jnp.int32, (GH, W), 0) % H
-    col = lax.broadcasted_iota(jnp.int32, (GH, W), 1)
-    not_last_row = (row < H - 1).astype(dtype)
-    not_last_col = (col < W - 1).astype(dtype)
-
-    def gv(u):
-        return pltpu.roll(u, GH - 1, 0) - u
-
-    def gh(u):
-        return pltpu.roll(u, W - 1, 1) - u
-
-    def gt(pv, ph):
-        tv = pltpu.roll(pv, 1, 0) - pv
-        th = pltpu.roll(ph, 1, 1) - ph
-        return tv + th
+    GH, not_last_row, not_last_col, gv, gh, gt = _fgp_grid(
+        H, W, dtype, groups
+    )
 
     def fgp_unrolled(xg, lam_tv, iterations: int, duals):
-        pv, ph = duals
-        rv, rh = pv, ph  # momentum restart: r ← p, t ← 1
-        t2s = _fgp_t2_schedule(iterations)
-        for i in range(iterations):
-            xtmp = xg - gt(rv, rh)
-            qv = jnp.clip(rv + gv(xtmp) * 0.125, -lam_tv, lam_tv) * not_last_row
-            qh = jnp.clip(rh + gh(xtmp) * 0.125, -lam_tv, lam_tv) * not_last_col
-            t2 = t2s[i]  # t2s[0] = 0 ⇒ iteration 0 is the plain step
-            rv = (1.0 + t2) * qv - t2 * pv
-            rh = (1.0 + t2) * qh - t2 * ph
-            pv, ph = qv, qh
-        return xg - gt(pv, ph), (pv, ph)
+        return _fgp_unrolled_scaled(
+            xg, lam_tv, iterations, duals,
+            gv, gh, gt, not_last_row, not_last_col,
+        )
 
     def fgp_loop(xg, lam_tv, iterations: int, duals):
         pv0, ph0 = duals

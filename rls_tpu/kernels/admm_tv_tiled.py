@@ -74,10 +74,11 @@ def _kernel(
     f32 = x_s.dtype
     x0hat = x0_ref[0]
 
-    # the matvec's dependence cone is just the separable stencil reach —
-    # far smaller than the FGP cone, so its tile windows are cheap
-    kh = max(len(taps[0]), len(taps[1]))
-    halo_mv = -(-(kh // 2 + 1) // 8) * 8
+    # the matvec's dependence cone is the TWO vertical stencil passes
+    # (conv + correlation, kh//2 reach each) — still far smaller than the
+    # FGP cone, so its tile windows are cheap
+    kh = len(taps[0])
+    halo_mv = -(-(2 * (kh // 2)) // 8) * 8
     T = H // TR
 
     def matvec_into(dst, src):

@@ -760,11 +760,12 @@ def solve_pgm_tv_fused(
 
     ``warm_tv=True`` (FISTA, fixed schedule only) carries the TV-FGP dual
     fields across outer iterations: each prox warm-starts from the
-    previous subproblem's near-optimal duals, so a small
-    ``reg.iterations_tv`` reaches the prox accuracy a cold start needs
-    ~2-3× more inner iterations for — higher accuracy per wall-clock, at
-    the cost of exact trajectory parity with the reference's
-    cold-per-call FGP (ProxTV.jl:89-125).
+    previous subproblem's duals. Measured effect: a ~15-20% accuracy
+    refinement at equal inner budget in the CONVERGED regime, a wash on
+    early/fast-moving trajectories or at tiny budgets — an accuracy
+    refinement, NOT an inner-iteration discount (see `_fista_loop_warm`
+    and docs/tpu.md for the curves). Costs exact trajectory parity with
+    the reference's cold-per-call FGP (ProxTV.jl:89-125).
 
     Assumptions are *checked*, not silently ignored — callers get a
     ValueError naming the unsupported piece.

@@ -1074,3 +1074,31 @@ def test_fista_tv_fused_warm_rejects_unsupported(rng):
     s_restart = replace(solver, restart="gradient")
     with pytest.raises(ValueError, match="warm_tv"):
         solve_pgm_tv_fused(s_restart, B, warm_tv=True)
+
+
+def test_admm_tv_tiled_long_taps_matches_composed(rng):
+    """Regression: the tiled inner-CG matvec's halo must cover BOTH
+    vertical stencil passes (2·(kh//2) rows). The old kh//2+1 rounded to
+    8 was silently short for kernels with ≥11 taps — exact for the ≤9-tap
+    kernels the other tests use, wrong at every tile seam beyond."""
+    import jax
+
+    from rls_tpu.kernels import solve_admm_tv_tiled
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    n, batch = 32, 2
+    g = np.exp(-((np.arange(11) - 5) ** 2) / 8.0)  # 11 taps: reach 2·5 = 10
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=4, unroll=True)
+    solver = rt.ADMM.create(
+        op, reg=reg, iterations=6, iterations_cg=5, unroll_cg=True, rho=0.1
+    )
+    X = jnp.asarray(rng.normal(size=(batch, n * n)), jnp.float32)
+    B = jax.vmap(op.mv)(X).T
+    want = np.asarray(jax.jit(solve_batched_unrolled)(solver, B))
+    got = np.asarray(
+        solve_admm_tv_tiled(solver, B, tile_rows=8, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=3e-4)
