@@ -177,6 +177,66 @@ def _kernel(
         )
 
 
+def _fista_dynamic_scalars(
+    th_in, th_old, done, dot_acc, res_acc, norm_x0, restart, rel_tol, f32
+):
+    """One home for the dynamic FISTA schedule's scalar epilogue — the θ
+    recurrence, gradient-restart reset (FISTA.jl:171-176: restart dot > 0
+    ⇒ θ ← 1) and convergence-freeze masking — shared by the monolithic
+    dynamic loop and both tiled VMEM-carry kernels (whose reductions are
+    tile-interior accumulators instead of whole-plane sums).
+
+    Returns ``(th_new, th_old_new, done_new, live)`` where ``live`` is
+    the pre-decision 1−done (problems freeze AFTER the detecting step).
+    """
+    one = jnp.asarray(1.0, f32)
+    th = th_in
+    if restart:
+        th = jnp.where(dot_acc > 0.0, one, th)
+    th_old_new = th
+    th_new = (1.0 + jnp.sqrt(1.0 + 4.0 * th * th)) / 2.0
+    done_new = done
+    live = 1.0 - done
+    if rel_tol is not None:
+        rel = jnp.sqrt(res_acc) / norm_x0
+        done_new = jnp.maximum(done, (rel < rel_tol).astype(f32))
+        th_old_new = th_old + live * (th_old_new - th_old)
+        th_new = th_in + live * (th_new - th_in)
+    return th_new, th_old_new, done_new, live
+
+
+def _pogm_dynamic_coeffs(th_old, sig, gam_old, rho, last, restart):
+    """The dynamic POGM per-iteration coefficients (POGM.jl:189-202):
+    θ recurrence (with the last-iteration √(1+8θ²) variant under
+    restart), inertia α, σ-scaled β, and γ. Shared by the monolithic
+    dynamic loop and the tiled VMEM-carry POGM kernel. Returns
+    ``(th, alpha, beta, gam)``."""
+    if restart:
+        th = jnp.where(
+            last,
+            (1.0 + jnp.sqrt(1.0 + 8.0 * th_old * th_old)) / 2.0,
+            (1.0 + jnp.sqrt(1.0 + 4.0 * th_old * th_old)) / 2.0,
+        )
+    else:
+        th = (1.0 + jnp.sqrt(1.0 + 4.0 * th_old * th_old)) / 2.0
+    alpha = (th_old - 1.0) / th
+    beta = sig * th_old / th
+    if restart:
+        gam = rho * (1.0 + alpha + beta)
+    else:
+        gam = rho * (2.0 * th_old + th - 1.0) / th
+    return th, alpha, beta, gam
+
+
+def _pogm_restart_decision(c1, c2, gam, sig, th, sigma_fac, f32):
+    """The POGM gradient-restart decision from the two w_mid reductions
+    (POGM.jl:222-232): crit = c1/γ − c2 < 0 ⇒ θ ← 1, σ ← 1; else
+    σ ← σ·σ_fac. Returns ``(sig_new, th_new)``."""
+    one = jnp.asarray(1.0, f32)
+    fire = (c1 / gam - c2) < 0.0
+    return jnp.where(fire, one, sig * sigma_fac), jnp.where(fire, one, th)
+
+
 def _fista_loop_dynamic(
     normal, fgp, rho, lam, x0hat, iterations, restart, rel_tol, theta0=1.0
 ):
@@ -197,21 +257,15 @@ def _fista_loop_dynamic(
         x_mom = x + a * (x - m1)
         res = normal(x_mom) - x0hat
         x_new = fgp(x_mom - rho * res, rho * lam)
-        th = th_in
-        if restart:
-            obtuse = jnp.sum(res * (x_new - x)) > 0.0
-            th = jnp.where(obtuse, jnp.asarray(1.0, f32), th)
-        th_old_new = th
-        th_new = (1.0 + jnp.sqrt(1.0 + 4.0 * th * th)) / 2.0
+        dot_acc = jnp.sum(res * (x_new - x)) if restart else None
+        res_acc = jnp.sum(res * res) if early else None
+        th_new, th_old_new, done, live = _fista_dynamic_scalars(
+            th_in, th_old, done, dot_acc, res_acc, norm_x0,
+            restart, rel_tol, f32,
+        )
         if early:
-            rel = jnp.sqrt(jnp.sum(res * res)) / norm_x0
-            keep = done  # freeze AFTER the step that detected convergence
-            done = jnp.maximum(done, (rel < rel_tol).astype(f32))
-            live = 1.0 - keep
             x_out = x + live * (x_new - x)
             m1_out = m1 + live * (x - m1)
-            th_old_new = th_old + live * (th_old_new - th_old)
-            th_new = th_in + live * (th_new - th_in)
             return (x_out, m1_out, th_new, th_old_new, done)
         return (x_new, x, th_new, th_old_new, done)
 
@@ -254,22 +308,11 @@ def _pogm_loop_dynamic(
         xg = x - rho * res
         th_old = th_in
         last = i == iterations - 1
-        if restart:
-            # the last-iteration 8θ² variant only applies with restart on
-            # (POGM.jl:190-194)
-            th = jnp.where(
-                last,
-                (1.0 + jnp.sqrt(1.0 + 8.0 * th_old * th_old)) / 2.0,
-                (1.0 + jnp.sqrt(1.0 + 4.0 * th_old * th_old)) / 2.0,
-            )
-        else:
-            th = (1.0 + jnp.sqrt(1.0 + 4.0 * th_old * th_old)) / 2.0
-        alpha = (th_old - 1.0) / th
-        beta = sig * th_old / th
-        if restart:
-            gam = rho * (1.0 + alpha + beta)
-        else:
-            gam = rho * (2.0 * th_old + th - 1.0) / th
+        # (the last-iteration 8θ² variant only applies with restart on,
+        # POGM.jl:190-194 — folded into _pogm_dynamic_coeffs)
+        th, alpha, beta, gam = _pogm_dynamic_coeffs(
+            th_old, sig, gam_old, rho, last, restart
+        )
         y_old = y
         y_new = xg
         x_mid = (
@@ -284,12 +327,11 @@ def _pogm_loop_dynamic(
         sig_new = sig
         if restart:
             w_mid = w + y_new + (rho / gam) * (x_new - z_new)
-            crit = (
-                jnp.sum(w_mid * x_new) - jnp.sum(w_mid * z_new)
-            ) / gam - jnp.sum(w_mid * res)
-            fire = crit < 0.0
-            sig_new = jnp.where(fire, one, sig * sigma_fac)
-            th = jnp.where(fire, one, th)
+            sig_new, th = _pogm_restart_decision(
+                jnp.sum(w_mid * (x_new - z_new)),
+                jnp.sum(w_mid * res),
+                gam, sig, th, sigma_fac, f32,
+            )
             w_new = (rho / gam) * (z_new - x_new) - y_new
         if early:
             rel = jnp.sqrt(jnp.sum(res * res)) / norm_x0

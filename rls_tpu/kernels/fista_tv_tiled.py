@@ -45,7 +45,12 @@ from ._fgp_common import (
     make_sepconv_normal_stencil_window,
     make_tv_fgp_window,
 )
-from .fista_tv_fused import _momentum_table
+from .fista_tv_fused import (
+    _fista_dynamic_scalars,
+    _momentum_table,
+    _pogm_dynamic_coeffs,
+    _pogm_restart_decision,
+)
 
 __all__ = [
     "fista_tv_tiled",
@@ -283,21 +288,16 @@ def _kernel_vmem(
     )
 
     if dynamic:
-        # θ recurrence + restart reset + freeze masking, exactly as in
-        # _fista_loop_dynamic (the reductions there are whole-plane; here
-        # they are the tile-interior accumulators)
-        th = th_in
-        if restart:
-            th = jnp.where(dot_acc > 0.0, one, th)
-        th_old_new = th
-        th_new = (1.0 + jnp.sqrt(1.0 + 4.0 * th * th)) / 2.0
-        if rel_tol is not None:
-            rel = jnp.sqrt(res_acc) / st_s[3]
-            st_s[2] = jnp.maximum(keep, (rel < rel_tol).astype(f32))
-            th_old_new = th_old + live * (th_old_new - th_old)
-            th_new = th_in + live * (th_new - th_in)
+        # the shared scalar epilogue (_fista_dynamic_scalars); the
+        # reductions there are whole-plane, here tile-interior accumulators
+        norm_x0 = st_s[3] if rel_tol is not None else None
+        th_new, th_old_new, done_new, _ = _fista_dynamic_scalars(
+            th_in, th_old, keep, dot_acc, res_acc, norm_x0,
+            restart, rel_tol, f32,
+        )
         st_s[0] = th_new
         st_s[1] = th_old_new
+        st_s[2] = done_new
         # m1_out = m1 + live·(x − m1) — BEFORE xc is overwritten
         xm_s[...] = xm_s[...] + live * (xc_s[...] - xm_s[...])
     else:
@@ -406,17 +406,10 @@ def _kernel_vmem_fori(
             H, W, TR, halo, taps, tv_iterations, restart, rel_tol,
         )
         if dynamic:
-            th = th_in
-            if restart:
-                th = jnp.where(dot_acc > 0.0, one, th)
-            th_old_new = th
-            th_new = (1.0 + jnp.sqrt(1.0 + 4.0 * th * th)) / 2.0
-            done_new = done
-            if rel_tol is not None:
-                rel = jnp.sqrt(res_acc) / norm_x0
-                done_new = jnp.maximum(done, (rel < rel_tol).astype(f32))
-                th_old_new = th_old + live * (th_old_new - th_old)
-                th_new = th_in + live * (th_new - th_in)
+            th_new, th_old_new, done_new, _ = _fista_dynamic_scalars(
+                th_in, th_old, done, dot_acc, res_acc, norm_x0,
+                restart, rel_tol, f32,
+            )
             xm_s[...] = xm_s[...] + live * (xc_s[...] - xm_s[...])
             xc_s[...] = xn_s[...]
             return (th_new, th_old_new, done_new)
@@ -492,27 +485,17 @@ def _kernel_vmem_pgm(
     T = H // TR
 
     if dynamic:
-        # the θ/σ/γ recurrences of _pogm_loop_dynamic (POGM.jl:189-202)
+        # the θ/σ/γ recurrences of _pogm_loop_dynamic (POGM.jl:189-202),
+        # via the shared _pogm_dynamic_coeffs
         th_old = st_s[0]
         sig = st_s[1]
         gam_old = st_s[2]
         keep = st_s[3]
         live = 1.0 - keep
         last = i == iterations - 1
-        if restart:
-            th = jnp.where(
-                last,
-                (1.0 + jnp.sqrt(1.0 + 8.0 * th_old * th_old)) / 2.0,
-                (1.0 + jnp.sqrt(1.0 + 4.0 * th_old * th_old)) / 2.0,
-            )
-        else:
-            th = (1.0 + jnp.sqrt(1.0 + 4.0 * th_old * th_old)) / 2.0
-        a = (th_old - 1.0) / th
-        bcoef = sig * th_old / th
-        if restart:
-            gam = rho * (1.0 + a + bcoef)
-        else:
-            gam = rho * (2.0 * th_old + th - 1.0) / th
+        th, a, bcoef, gam = _pogm_dynamic_coeffs(
+            th_old, sig, gam_old, rho, last, restart
+        )
         e = rho * a / gam_old  # the POGM z-coupling ρα/γ_old
         prox_scale = gam  # γλ (already includes ρ)
     else:
@@ -583,10 +566,9 @@ def _kernel_vmem_pgm(
         # restart decision + freeze masking, exactly as _pogm_loop_dynamic
         sig_new = sig
         if restart:
-            crit = c1_acc / gam - c2_acc
-            fire = crit < 0.0
-            sig_new = jnp.where(fire, one, sig * sigma_fac)
-            th = jnp.where(fire, one, th)
+            sig_new, th = _pogm_restart_decision(
+                c1_acc, c2_acc, gam, sig, th, sigma_fac, f32
+            )
         if rel_tol is not None:
             rel = jnp.sqrt(res_acc) / st_s[4]
             st_s[3] = jnp.maximum(keep, (rel < rel_tol).astype(f32))
@@ -716,6 +698,14 @@ def fista_tv_tiled(
                 f"halo={halo} ({method}{'+restart/early-exit' if dynamic else ''} "
                 "has no hbm-streamed variant)"
             )
+        if iter_loop == "fori" and mode == "hbm":
+            # re-check after auto-resolution: silently timing the
+            # grid-stepped HBM kernel when the fori variant was asked for
+            # would invalidate the A/B this flag exists for
+            raise ValueError(
+                f"iter_loop='fori' needs the VMEM-carry variant, but no "
+                f"tile size fits H={H}, W={W}, halo={halo}"
+            )
     if mode == "vmem":
         TR = (
             tile_rows
@@ -840,11 +830,14 @@ def fista_tv_tiled(
     return sol
 
 
-def check_fista_tv_tiled(solver):
+def check_fista_tv_tiled(solver, early_exit: bool = False):
     """Validate `solver` for the tiled path (FISTA/OptISTA/POGM +
     SeparableConv + 2-D TV, fixed schedule; OptISTA/POGM are VMEM-carry
     only). Raises ValueError naming the first unsupported piece; returns
-    (taps, method)."""
+    (taps, method). Pass ``early_exit=True`` when the solve will run the
+    convergence-freeze schedule — it needs the larger dynamic VMEM-carry
+    layout, so sizing must account for it HERE or a borderline image
+    passes the check and fails at solve time."""
     from ..models.prox import TVRegularization
     from ..models.solvers.fista import FISTA
     from ..models.solvers.optista import OptISTA
@@ -909,10 +902,13 @@ def check_fista_tv_tiled(solver):
     halo = -(-cone // 8) * 8
     if H % 8:
         raise ValueError(f"tiled path needs H % 8 == 0, got {H}")
-    tr_v = pick_tile_rows_vmem(
-        H, W, halo, method=method, dynamic=solver_restart == "gradient"
+    dynamic = solver_restart == "gradient" or early_exit
+    tr_v = pick_tile_rows_vmem(H, W, halo, method=method, dynamic=dynamic)
+    tr_h = (
+        pick_tile_rows(H, W, halo)
+        if method == "fista" and not dynamic
+        else None
     )
-    tr_h = pick_tile_rows(H, W, halo) if method == "fista" else None
     if tr_h is not None and (H // tr_h < 2 or tr_h + 2 * halo > H):
         tr_h = None
     if W % 128 and jax.default_backend() != "cpu":
@@ -922,10 +918,10 @@ def check_fista_tv_tiled(solver):
             f"no valid tile size for H={H}, W={W}, halo={halo} "
             "(use the monolithic fused kernel instead)"
         )
-    if solver_restart == "gradient" and tr_v is None:
+    if dynamic and tr_v is None:
         raise ValueError(
-            f"tiled restart needs the VMEM-carry variant, but no tile "
-            f"size fits H={H}, W={W}, halo={halo}"
+            f"tiled restart/early-exit needs the VMEM-carry variant, but "
+            f"no tile size fits H={H}, W={W}, halo={halo}"
         )
     return taps, method
 
@@ -953,7 +949,7 @@ def solve_fista_tv_tiled(
     ``solver.rel_tol > 0``) converged problems freeze in-kernel — the
     `solve_batched` done-masking semantics on the fixed grid, like the
     monolithic kernel's."""
-    taps, method = check_fista_tv_tiled(solver)
+    taps, method = check_fista_tv_tiled(solver, early_exit=early_exit)
     restart = getattr(solver, "restart", "none") == "gradient"
     rel_tol = None
     if early_exit:

@@ -77,8 +77,10 @@ def make_fn(cfg):
     return jax.jit(f)
 
 
-# cross-run numerics reference (first variant ever run writes it)
-REF_PATH = "/tmp/ab_fgp_ref.npy"
+# cross-run numerics reference (first variant ever run writes it), keyed
+# on the problem config so a stale ref from an earlier N/BATCH/ITERS or
+# tv-iteration count can't masquerade as a kernel numerics regression
+REF_PATH = f"/tmp/ab_fgp_ref_{N}x{BATCH}x{ITERS}x{reg.iterations_tv}.npy"
 ref_out = np.load(REF_PATH) if os.path.exists(REF_PATH) else None
 for name, cfg in VARIANTS:
     try:

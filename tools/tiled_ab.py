@@ -123,14 +123,10 @@ def main():
         p1 = bench("512_vmem_pogm_restart", fp, B, 16)
         assert np.isfinite(p1).all()
 
-    if 512 in sizes:
-        # tiled ADMM-TV (untiled in-kernel CG + tiled FGP z-update)
-        import jax as _j
-
-        import rls_tpu as rt
+        # tiled ADMM-TV (tiled in-kernel CG matvec + tiled FGP z-update),
+        # on the SAME problem batch as the FISTA benches above
         from rls_tpu.kernels import solve_admm_tv_tiled
 
-        s, B, _ = build(512, 16, rng)
         sa = rt.ADMM.create(
             s.AHA.A,
             reg=rt.TVRegularization(5e-4, shape=(512, 512),
