@@ -1,5 +1,6 @@
 from .auto import solve_batched_fast
 from .admm_tv_fused import admm_tv_fused, solve_admm_tv_fused
+from .cgnr_fused import check_cgnr_fused, solve_cgnr_fused
 from .admm_tv_tiled import admm_tv_tiled, solve_admm_tv_tiled
 from .fista_l1_dft_fused import fista_l1_dft_fused, solve_fista_l1_dft_fused
 from .sense_fused import fista_l21_sense_fused, solve_fista_l21_sense_fused
@@ -27,6 +28,8 @@ __all__ = [
     "solve_kaczmarz_greedy",
     "solve_kaczmarz_streamed",
     "solve_batched_fast",
+    "check_cgnr_fused",
+    "solve_cgnr_fused",
     "admm_tv_fused",
     "fista_l1_dft_fused",
     "solve_fista_l1_dft_fused",

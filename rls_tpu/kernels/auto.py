@@ -19,6 +19,7 @@ from __future__ import annotations
 import warnings
 
 from .admm_tv_fused import check_admm_tv_fused, solve_admm_tv_fused
+from .cgnr_fused import check_cgnr_fused, solve_cgnr_fused
 from .admm_tv_tiled import check_admm_tv_tiled, solve_admm_tv_tiled
 from .fista_l1_dft_fused import (
     check_fista_l1_dft_fused,
@@ -37,6 +38,7 @@ from .splitbregman_fused import (
 __all__ = ["solve_batched_fast"]
 
 _FUSED_WRAPPERS = (
+    ("cgnr_dense", check_cgnr_fused, solve_cgnr_fused),
     ("pgm_tv", check_pgm_tv_fused, solve_pgm_tv_fused),
     # beyond the monolithic kernel's VMEM ceiling: row-tiled streaming
     ("fista_tv_tiled", check_fista_tv_tiled, solve_fista_tv_tiled),

@@ -1102,3 +1102,125 @@ def test_admm_tv_tiled_long_taps_matches_composed(rng):
         solve_admm_tv_tiled(solver, B, tile_rows=8, interpret=True)
     )
     np.testing.assert_allclose(got, want, rtol=0, atol=3e-4)
+
+
+# --------------------------------------------------------------------------
+# fused whole-solve CGNR
+# --------------------------------------------------------------------------
+
+
+def _cgnr_fused_system(rng, m=96, n=40, P=5):
+    A = jnp.asarray(rng.normal(size=(m, n)) / np.sqrt(n), jnp.float32)
+    X = jnp.asarray(rng.normal(size=(n, P)), jnp.float32)
+    B = A @ X
+    return A, B
+
+
+def test_cgnr_fused_matches_unrolled(rng):
+    from rls_tpu.kernels import solve_cgnr_fused
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    A, B = _cgnr_fused_system(rng)
+    s = rt.CGNR.create(
+        rt.DenseOperator(A), reg=rt.L2Regularization(1e-3), iterations=30
+    )
+    ref = np.asarray(solve_batched_unrolled(s, B))
+    out = np.asarray(solve_cgnr_fused(s, B, interpret=True))
+    assert np.linalg.norm(out - ref) / np.linalg.norm(ref) < 2e-5
+
+
+def test_cgnr_fused_past_convergence_with_positivity(rng):
+    # iterations > n engages the guarded divisions (identity steps past
+    # CG termination) and the in-kernel final Positive projection
+    from rls_tpu.kernels import solve_cgnr_fused
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    A, B = _cgnr_fused_system(rng, m=48, n=24, P=3)
+    s = rt.CGNR.create(
+        rt.DenseOperator(A),
+        reg=[rt.L2Regularization(1e-4), rt.PositiveRegularization()],
+        iterations=200,
+    )
+    assert s.total_steps == 24
+    ref = np.asarray(solve_batched_unrolled(s, B))
+    out = np.asarray(solve_cgnr_fused(s, B, interpret=True))
+    assert np.all(out >= 0.0)
+    assert np.linalg.norm(out - ref) / max(np.linalg.norm(ref), 1e-30) < 5e-5
+
+
+def test_cgnr_fused_normalization_strategy(rng):
+    from rls_tpu.kernels import solve_cgnr_fused
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    A, B = _cgnr_fused_system(rng, m=40, n=32, P=4)
+    s = rt.CGNR.create(
+        rt.DenseOperator(A),
+        reg=rt.L2Regularization(5e-2),
+        normalize_reg=rt.MeasurementBasedNormalization(),
+        iterations=32,
+    )
+    ref = np.asarray(solve_batched_unrolled(s, B))
+    out = np.asarray(solve_cgnr_fused(s, B, interpret=True))
+    assert np.linalg.norm(out - ref) / np.linalg.norm(ref) < 1e-4
+
+
+def test_cgnr_fused_rejects_unsupported(rng):
+    from rls_tpu.kernels import check_cgnr_fused
+    from rls_tpu.ops.base import NormalOperator
+
+    A, _ = _cgnr_fused_system(rng, m=16, n=12, P=1)
+    ok = rt.CGNR.create(
+        rt.DenseOperator(A), reg=rt.L2Regularization(1e-3), iterations=8
+    )
+    check_cgnr_fused(ok)  # baseline passes
+
+    fista = rt.FISTA.create(
+        rt.DenseOperator(A), reg=rt.L1Regularization(1e-3), iterations=8
+    )
+    with pytest.raises(ValueError, match="CGNR solver"):
+        check_cgnr_fused(fista)
+
+    Ac = A.astype(jnp.complex64)
+    s_c = rt.CGNR.create(
+        rt.DenseOperator(Ac), reg=rt.L2Regularization(1e-3), iterations=8
+    )
+    with pytest.raises(ValueError, match="real systems"):
+        check_cgnr_fused(s_c)
+
+    from rls_tpu._pytree import replace as _replace
+
+    s_w = _replace(ok, AHA=NormalOperator(A=ok.A, weights=jnp.ones((16,))))
+    with pytest.raises(ValueError, match="normal"):
+        check_cgnr_fused(s_w)
+
+    s_vec = rt.CGNR.create(
+        rt.DenseOperator(A),
+        reg=rt.L2Regularization(jnp.full((12,), 1e-3)),
+        iterations=8,
+    )
+    with pytest.raises(ValueError, match="scalar"):
+        check_cgnr_fused(s_vec)
+
+    big = rt.CGNR.create(
+        rt.DenseOperator(jnp.zeros((1024, 1024), jnp.float32)),
+        reg=rt.L2Regularization(1e-3),
+        iterations=8,
+    )
+    with pytest.raises(ValueError, match="VMEM"):
+        check_cgnr_fused(big)
+
+
+def test_solve_batched_fast_dispatches_cgnr(rng):
+    import warnings as _warnings
+
+    from rls_tpu.kernels import solve_batched_fast, solve_cgnr_fused
+
+    A, B = _cgnr_fused_system(rng, m=32, n=24, P=3)
+    s = rt.CGNR.create(
+        rt.DenseOperator(A), reg=rt.L2Regularization(1e-3), iterations=16
+    )
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")  # dispatch must not fall back
+        out = solve_batched_fast(s, B, interpret=True)
+    ref = solve_cgnr_fused(s, B, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0)

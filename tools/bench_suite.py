@@ -80,6 +80,17 @@ def main():
     emit("cgnr_l2_dense64", np.linalg.norm(x1 - xt) / np.linalg.norm(xt),
          timeit(f1, b), 1, "solves/s")
 
+    # ---- 1b. same system, the fused whole-solve CGNR kernel, batched -----
+    from rls_tpu.kernels import solve_cgnr_fused
+
+    XT1 = rng.normal(size=(m, 16)).astype(np.float32)
+    B1 = jnp.asarray(A @ XT1)
+    f1b = jax.jit(lambda B_: solve_cgnr_fused(s1, B_))
+    x1b = np.asarray(f1b(B1))
+    emit("cgnr_l2_dense64_fused_b16",
+         np.linalg.norm(x1b - XT1) / np.linalg.norm(XT1),
+         timeit(f1b, B1), 16, "solves/s")
+
     # ---- 2. FISTA + L1 CS, split-real DFT 256² ---------------------------
     N = 256
     n = N * N
