@@ -36,6 +36,10 @@ __all__ = [
 ]
 
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+# randomized-mode row gathers are CHUNKED over sweeps so the transient
+# HBM copy stays under this budget regardless of the sweep count
+_GATHER_CHUNK_BUDGET_BYTES = 256 * 1024 * 1024
+_SMEM_TABLE_BUDGET_BYTES = 1024 * 1024
 
 
 def fits_vmem(m: int, n: int, itemsize: int = 4) -> bool:
@@ -366,12 +370,13 @@ def check_kaczmarz_streamed(solver):
             f"streamed Kaczmarz working set ~{vmem_bytes/2**20:.0f} MiB "
             "exceeds VMEM; use the scan path"
         )
-    # SMEM index-table gate: the kernel ships the whole visit-order table
-    # as one SMEM input — (T, S_pad) int32 for randomized, (1, m) for
-    # cyclic/shuffled. TPU scalar memory is MiB-scale at most; the 64 MiB
-    # bench config's (1, 65536) table (256 KiB) compiles on chip, so the
-    # budget is set at 1 MiB — gate here so the auto dispatcher falls
-    # back instead of a Mosaic scalar-memory OOM.
+    # SMEM index-table gate: randomized mode CHUNKS the solve over sweeps
+    # (solve_kaczmarz_streamed), so each kernel call ships only a
+    # (chunk, S_pad) slice of the visit-order table to SMEM and gathers
+    # only that chunk's rows into HBM — the chunk size is chosen to fit
+    # both budgets, so the only hard limits are per-SWEEP: a single
+    # sweep's table row must fit SMEM (1 MiB) and its row gather the
+    # chunk budget. Cyclic/shuffled mode reuses one (1, m) table/gather.
     ncomp_b = ncomp
     if solver.randomized and solver.precomputed_order is not None:
         T_i, S_i = solver.precomputed_order.shape
@@ -379,24 +384,23 @@ def check_kaczmarz_streamed(solver):
         T_i, S_i = 1, m
     bm_i = pick_block_rows(S_i, n, ncomp_b)
     s_pad = S_i + ((-S_i) % min(bm_i, S_i))
-    table_bytes = T_i * s_pad * 4
-    if table_bytes > 1024 * 1024:
+    table_bytes = s_pad * 4  # one sweep's SMEM table row
+    if table_bytes > _SMEM_TABLE_BUDGET_BYTES:
         raise ValueError(
-            f"streamed Kaczmarz index table {T_i}x{s_pad} int32 "
+            f"streamed Kaczmarz per-sweep index row of {s_pad} int32 "
             f"(~{table_bytes/2**10:.0f} KiB) exceeds the 1 MiB SMEM "
-            "budget; reduce sweeps x sub-matrix size or use the scan path"
+            "budget; reduce the sub-matrix size or use the scan path"
         )
-    # HBM gather-amplification gate: randomized mode pre-gathers the
-    # visited rows for EVERY sweep contiguously — T·S rows in HBM, a T×
-    # amplification of (the visited share of) A. Budget 2 GiB.
-    rows_bytes = T_i * s_pad * ncomp_b * n * 4
-    if not solver.randomized:
-        rows_bytes = s_pad * ncomp_b * n * 4  # single reused copy
-    if rows_bytes > 2 * 1024**3:
+    # HBM gather gate: one sweep's gathered rows must fit the chunk
+    # budget (the sweep-chunked driver never materializes more than one
+    # chunk at a time, so the old T× amplification cannot occur).
+    rows_bytes = s_pad * ncomp_b * n * 4
+    if rows_bytes > _GATHER_CHUNK_BUDGET_BYTES:
         raise ValueError(
-            f"streamed Kaczmarz pre-gathered rows ~{rows_bytes/2**30:.1f} "
-            "GiB (T-sweep x S-row gather) exceed the 2 GiB HBM budget; "
-            "reduce sweeps or use the scan path"
+            f"streamed Kaczmarz single-sweep row gather ~"
+            f"{rows_bytes/2**20:.0f} MiB exceeds the "
+            f"{_GATHER_CHUNK_BUDGET_BYTES/2**20:.0f} MiB HBM chunk "
+            "budget; reduce the sub-matrix size or use the scan path"
         )
     if any(isinstance(r, PositiveRegularization) for r in solver.reg):
         return "positive"
@@ -413,14 +417,27 @@ def _split_planes(v, ncomp):
 
 
 def solve_kaczmarz_streamed(
-    solver, B_mat, interpret: bool | None = None, block_rows: int | None = None
+    solver,
+    B_mat,
+    interpret: bool | None = None,
+    block_rows: int | None = None,
+    chunk_sweeps: int | None = None,
 ):
     """Drop-in fast path for `solve_batched_unrolled(solver, B)` on a
-    Kaczmarz solver: the whole multi-sweep solve runs as ONE Pallas call
-    with A streamed from HBM in row blocks — no VMEM size limit, complex
-    systems in split-real form, randomized orders from the precomputed
-    table, batch of problems on the leading grid axis. Returns the n×K
-    solution matrix (complex when the system is complex).
+    Kaczmarz solver: the multi-sweep solve runs as one Pallas call (or a
+    short `lax.scan` of chunked calls, see below) with A streamed from
+    HBM in row blocks — no VMEM size limit, complex systems in split-real
+    form, randomized orders from the precomputed table, batch of problems
+    on the leading grid axis. Returns the n×K solution matrix (complex
+    when the system is complex).
+
+    Randomized mode gathers each sweep's visited rows contiguously. To
+    bound the transient HBM copy (formerly a T× amplification of A) and
+    the per-call SMEM table, the solve is CHUNKED over sweeps: at most
+    `chunk_sweeps` sweeps (default: fitted to the 256 MiB gather / 1 MiB
+    SMEM budgets) are gathered and solved per kernel call, with (x, vl)
+    carried between calls under a `lax.scan` — only one chunk's gather
+    is ever live.
 
     Semantics mirror Kaczmarz.step (kaczmarz.py; reference
     Kaczmarz.jl:264-317) with the same per-sweep Positive/Real projection.
@@ -448,6 +465,7 @@ def solve_kaczmarz_streamed(
             jnp.concatenate([B_mat.real, B_mat.imag], axis=1),
             interpret=interpret,
             block_rows=block_rows,
+            chunk_sweeps=chunk_sweeps,
         )
         K = B_mat.shape[1]
         return (re[:, :K] + 1j * re[:, K:]).astype(B_mat.dtype)
@@ -469,12 +487,14 @@ def solve_kaczmarz_streamed(
         order = jnp.concatenate(
             [order, jnp.full((order.shape[0], pad), -1, jnp.int32)], axis=1
         )
-    visit = jnp.maximum(order.reshape(-1), 0)  # clamped gather for -1 pads
-    g = mat[visit]  # (R, n) rows in visit order
-    if ncomp == 2:
-        A_rows = jnp.stack([g.real, g.imag], axis=1).reshape(-1, n)
-    else:
-        A_rows = g
+    S_pad = order.shape[1]
+
+    def gather_rows(idx_tab):
+        visit = jnp.maximum(idx_tab.reshape(-1), 0)  # clamp the -1 pads
+        g = mat[visit]  # rows in visit order
+        if ncomp == 2:
+            return jnp.stack([g.real, g.imag], axis=1).reshape(-1, n)
+        return g
 
     x0 = _split_planes(states.x, ncomp)
     vl0 = _split_planes(states.vl, ncomp)
@@ -484,20 +504,64 @@ def solve_kaczmarz_streamed(
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    x, _ = kaczmarz_solve_pallas(
-        A_rows,
-        order.astype(jnp.int32),
-        x0,
-        vl0,
-        u,
-        denom,
-        eps_w,
-        sweeps=T,
-        reuse_rows=reuse,
-        prox=prox,
-        block_rows=bm,
-        interpret=interpret,
-    )
+    if chunk_sweeps is None:
+        # randomized mode gathers each sweep's rows contiguously; bound
+        # the transient HBM copy AND the per-call SMEM table by running
+        # the solve in sweep chunks with (x, vl) carried between calls
+        chunk_sweeps = max(
+            1,
+            min(
+                _GATHER_CHUNK_BUDGET_BYTES // max(S_pad * ncomp * n * 4, 1),
+                _SMEM_TABLE_BUDGET_BYTES // max(S_pad * 4, 1),
+            ),
+        )
+    if not reuse and T > chunk_sweeps:
+        C = chunk_sweeps
+        n_chunks = -(-T // C)
+        pad_t = n_chunks * C - T
+        if pad_t:
+            # padded sweeps are all -1 rows: every update is masked out
+            # and the between-sweep Positive/Real projections are
+            # idempotent, so extra sweeps are exact no-ops
+            order = jnp.concatenate(
+                [order, jnp.full((pad_t, S_pad), -1, jnp.int32)], axis=0
+            )
+        chunks = order.astype(jnp.int32).reshape(n_chunks, C, S_pad)
+
+        def body(carry, idx_c):
+            x_c, vl_c = carry
+            x_n, vl_n = kaczmarz_solve_pallas(
+                gather_rows(idx_c),
+                idx_c,
+                x_c,
+                vl_c,
+                u,
+                denom,
+                eps_w,
+                sweeps=C,
+                reuse_rows=False,
+                prox=prox,
+                block_rows=bm,
+                interpret=interpret,
+            )
+            return (x_n, vl_n), None
+
+        (x, _), _ = lax.scan(body, (x0, vl0), chunks)
+    else:
+        x, _ = kaczmarz_solve_pallas(
+            gather_rows(order),
+            order.astype(jnp.int32),
+            x0,
+            vl0,
+            u,
+            denom,
+            eps_w,
+            sweeps=T,
+            reuse_rows=reuse,
+            prox=prox,
+            block_rows=bm,
+            interpret=interpret,
+        )
     if ncomp == 2:
         sol = (x[:, 0, :] + 1j * x[:, 1, :]).astype(mat.dtype)
     else:
