@@ -115,11 +115,6 @@ def check_cgnr_fused(solver):
         raise ValueError("fused CGNR path requires a CGNR solver")
     if solver.A is None or not isinstance(solver.A, DenseOperator):
         raise ValueError("fused CGNR path requires a dense operator A")
-    if jnp.issubdtype(solver.A.mat.dtype, jnp.complexfloating):
-        raise ValueError(
-            "fused CGNR path covers real systems only (complex systems: "
-            "use the scan path or a split-real operator)"
-        )
     if not (
         isinstance(solver.AHA, NormalOperator)
         and solver.AHA.A is solver.A
@@ -136,6 +131,8 @@ def check_cgnr_fused(solver):
             "use the scan path)"
         )
     m, n = solver.A.mat.shape
+    if jnp.issubdtype(solver.A.mat.dtype, jnp.complexfloating):
+        m, n = 2 * m, 2 * n  # split-real embedding doubles both dims
     # both pre-split factors (6mn floats) + double the per-problem planes
     # headroom must fit the scoped-VMEM budget
     if 6 * m * n * 4 + 2 * 1024 * 1024 > _VMEM_BUDGET_BYTES:
@@ -150,25 +147,56 @@ def check_cgnr_fused(solver):
 
 def solve_cgnr_fused(solver, B_mat, interpret: bool | None = None):
     """Drop-in fast path for ``solve_batched_unrolled(solver, B)`` on a
-    real dense CGNR solver: the whole batch of K-iteration CG solves runs
-    as ONE Pallas call (columns of ``B_mat`` are problems; returns n × K).
+    dense CGNR solver: the whole batch of K-iteration CG solves runs as
+    ONE Pallas call (columns of ``B_mat`` are problems; returns n × K).
+
+    Complex systems (complex A and/or complex b) ride the exact
+    split-real embedding M = [[Re A, −Im A], [Im A, Re A]], x̃ = [Re x;
+    Im x]: complex CGNR's recurrences coincide step-for-step with real
+    CG on the embedded normal equations (ζ, α, β are the same real
+    scalars — AᴴA is Hermitian so every inner product is real), and the
+    final Real/Positive projections (applied once at convergence,
+    reference CGNR.jl:144-148) are applied to the reassembled complex
+    iterate outside the kernel.
     """
     prox = check_cgnr_fused(solver)
     from ..models.regularization import normalization_factor
 
-    mat = jnp.asarray(solver.A.mat, jnp.float32)
-    m, n = mat.shape
-    B_mat = jnp.asarray(B_mat, jnp.float32)
-    if B_mat.shape[0] != m:
-        raise ValueError(f"B has {B_mat.shape[0]} rows, operator expects {m}")
-    bt = B_mat.T  # (P, m)
-    P = bt.shape[0]
-
+    mat0 = jnp.asarray(solver.A.mat)
+    B_mat = jnp.asarray(B_mat)
+    if B_mat.shape[0] != mat0.shape[0]:
+        raise ValueError(
+            f"B has {B_mat.shape[0]} rows, operator expects {mat0.shape[0]}"
+        )
+    is_cplx = jnp.issubdtype(mat0.dtype, jnp.complexfloating) or jnp.issubdtype(
+        B_mat.dtype, jnp.complexfloating
+    )
+    # λ scale comes from the ORIGINAL operator/b (not the embedding)
     lam0 = jnp.real(jnp.asarray(solver.l2.get_lam(), jnp.float32))
     scale = jax.vmap(
         lambda col: normalization_factor(solver.normalize_reg, solver.A, col)
-    )(bt)
-    lam = (lam0 * jnp.asarray(scale, jnp.float32)).reshape(P, 1)
+    )(B_mat.T)
+    if is_cplx:
+        n_c = mat0.shape[1]
+        ar = jnp.real(mat0).astype(jnp.float32)
+        ai = (
+            jnp.imag(mat0).astype(jnp.float32)
+            if jnp.issubdtype(mat0.dtype, jnp.complexfloating)
+            else jnp.zeros_like(ar)
+        )
+        mat = jnp.block([[ar, -ai], [ai, ar]])  # (2m, 2n)
+        bt = jnp.concatenate(
+            [jnp.real(B_mat).T, jnp.imag(B_mat).T], axis=1
+        ).astype(jnp.float32)  # (P, 2m)
+        prox = "none"  # projections act on the complex iterate, post-kernel
+    else:
+        mat = mat0.astype(jnp.float32)
+        bt = B_mat.astype(jnp.float32).T  # (P, m)
+    m, n = mat.shape
+    P = bt.shape[0]
+    lam = (lam0 * jnp.real(jnp.asarray(scale)).astype(jnp.float32)).reshape(
+        P, 1
+    )
 
     per_problem = P * (4 * n + 2 * m) * 4  # x/r/p/q live planes + b + out
     if 6 * m * n * 4 + per_problem > _VMEM_BUDGET_BYTES:
@@ -194,4 +222,14 @@ def solve_cgnr_fused(solver, B_mat, interpret: bool | None = None):
         out_shape=jax.ShapeDtypeStruct((P, n), jnp.float32),
         interpret=interpret,
     )(lam, bt, mf2, at_hi, ma2, a_hi)
+    if is_cplx:
+        dt_c = (
+            mat0.dtype
+            if jnp.issubdtype(mat0.dtype, jnp.complexfloating)
+            else B_mat.dtype
+        )
+        xc = (x[:, :n_c] + 1j * x[:, n_c:]).astype(dt_c)
+        for rg in solver.constr:  # finalize projections, reference order
+            xc = jax.vmap(rg.prox)(xc)
+        return xc.T
     return x.T
