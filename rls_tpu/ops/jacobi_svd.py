@@ -27,6 +27,7 @@ from __future__ import annotations
 import math
 
 import jax.numpy as jnp
+from jax import lax
 
 from ._precise import mm_both
 
@@ -51,9 +52,45 @@ def default_sweeps(n: int) -> int:
     return max(6, int(math.ceil(math.log2(max(n, 2)))) + 4)
 
 
-def _jacobi_w_v(a, sweeps):
+def _round_step(W, V, Wp, Wq, take, top, bot, inv):
+    """One tournament round: rotate every disjoint (p, q) column pair so
+    the (p, q) Gram entry vanishes (Brent–Luk)."""
+    app = jnp.sum(Wp * Wp, axis=-2)
+    aqq = jnp.sum(Wq * Wq, axis=-2)
+    apq = jnp.sum(Wp * Wq, axis=-2)
+    apq_safe = jnp.where(apq == 0, 1.0, apq)
+    zeta = (aqq - app) / (2.0 * apq_safe)
+    # sign(0) must be 1 (t = tan 45°), else equal-column pairs
+    # (ζ = 0, apq ≠ 0) would never rotate
+    sgn = jnp.where(zeta >= 0, 1.0, -1.0)
+    t = sgn / (jnp.abs(zeta) + jnp.sqrt(1.0 + zeta * zeta))
+    t = jnp.where(apq == 0, 0.0, t)
+    c = 1.0 / jnp.sqrt(1.0 + t * t)
+    s = c * t
+    c = c[..., None, :]
+    s = s[..., None, :]
+
+    def rotate(M, Mp, Mq):
+        Mp2 = c * Mp - s * Mq
+        Mq2 = s * Mp + c * Mq
+        return take(jnp.concatenate([Mp2, Mq2], axis=-1), inv)
+
+    return (
+        rotate(W, Wp, Wq),
+        rotate(V, take(V, top), take(V, bot)),
+    )
+
+
+def _jacobi_w_v(a, sweeps, unroll: bool | None = None):
     """Shared sweep loop: returns (W, V) with a = W Vᵀ, W's columns
-    orthogonal (U·diag(s)) and V orthogonal."""
+    orthogonal (U·diag(s)) and V orthogonal.
+
+    ``unroll=None`` picks automatically: the Python-unrolled loop (static
+    gathers, fastest run) for small blocks, a `lax.scan` over the
+    sweeps × (n−1) tournament rounds with the index tables as scan inputs
+    for larger ones — identical math, but the round body compiles ONCE
+    instead of sweeps·(n−1) times (measured: the n=128 unrolled variant
+    takes ~163 s to compile on chip; see docs/tpu.md)."""
     *batch, m, n = a.shape
     dt = a.dtype
     n_pad = n + (n % 2)
@@ -66,6 +103,8 @@ def _jacobi_w_v(a, sweeps):
     rounds = _round_robin_schedule(n_pad)
     if sweeps is None:
         sweeps = default_sweeps(n)
+    if unroll is None:
+        unroll = n_pad <= 16
     perms = []
     for pairs in rounds:
         top = [p for p, q in pairs]
@@ -74,48 +113,45 @@ def _jacobi_w_v(a, sweeps):
         inv = [0] * n_pad
         for i, c in enumerate(order):
             inv[c] = i
-        perms.append((tuple(top), tuple(bot), tuple(inv)))
+        perms.append((top, bot, inv))
 
-    def rotate(M, c, s, top, bot, inv):
-        Mp = M[..., :, top]
-        Mq = M[..., :, bot]
-        Mp2 = c * Mp - s * Mq
-        Mq2 = s * Mp + c * Mq
-        return jnp.concatenate([Mp2, Mq2], axis=-1)[..., :, inv]
+    if unroll:
+        take = lambda M, idx: M[..., :, idx]
+        for _ in range(sweeps):
+            for top, bot, inv in perms:
+                W, V = _round_step(
+                    W, V, take(W, top), take(W, bot), take, top, bot, inv
+                )
+        return W, V, n_pad
 
-    for _ in range(sweeps):
-        for top, bot, inv in perms:
-            top = list(top)
-            bot = list(bot)
-            inv = list(inv)
-            Wp = W[..., :, top]
-            Wq = W[..., :, bot]
-            app = jnp.sum(Wp * Wp, axis=-2)
-            aqq = jnp.sum(Wq * Wq, axis=-2)
-            apq = jnp.sum(Wp * Wq, axis=-2)
-            # Brent–Luk rotation zeroing the (p,q) Gram entry
-            apq_safe = jnp.where(apq == 0, 1.0, apq)
-            zeta = (aqq - app) / (2.0 * apq_safe)
-            # sign(0) must be 1 (t = tan 45°), else equal-column pairs
-            # (ζ = 0, apq ≠ 0) would never rotate
-            sgn = jnp.where(zeta >= 0, 1.0, -1.0)
-            t = sgn / (jnp.abs(zeta) + jnp.sqrt(1.0 + zeta * zeta))
-            t = jnp.where(apq == 0, 0.0, t)
-            c = 1.0 / jnp.sqrt(1.0 + t * t)
-            s = c * t
-            c = c[..., None, :]
-            s = s[..., None, :]
-            W = rotate(W, c, s, top, bot, inv)
-            V = rotate(V, c, s, top, bot, inv)
+    take = lambda M, idx: jnp.take(M, idx, axis=-1)
+    TOP = jnp.asarray([p[0] for p in perms], jnp.int32)  # (R, n/2)
+    BOT = jnp.asarray([p[1] for p in perms], jnp.int32)
+    INV = jnp.asarray([p[2] for p in perms], jnp.int32)  # (R, n_pad)
+
+    def body(carry, idx):
+        W, V = carry
+        top, bot, inv = idx
+        W, V = _round_step(
+            W, V, take(W, top), take(W, bot), take, top, bot, inv
+        )
+        return (W, V), None
+
+    xs = (
+        jnp.tile(TOP, (sweeps, 1)),
+        jnp.tile(BOT, (sweeps, 1)),
+        jnp.tile(INV, (sweeps, 1)),
+    )
+    (W, V), _ = lax.scan(body, (W, V), xs)
     return W, V, n_pad
 
 
-def jacobi_svd(a, sweeps: int | None = None):
+def jacobi_svd(a, sweeps: int | None = None, unroll: bool | None = None):
     """Batched thin SVD of real `a` (..., m, n), m ≥ n recommended.
     Returns (u, s, vt) like `jnp.linalg.svd(full_matrices=False)`, with
     singular values sorted descending."""
     n = a.shape[-1]
-    W, V, n_pad = _jacobi_w_v(a, sweeps)
+    W, V, n_pad = _jacobi_w_v(a, sweeps, unroll)
     s = jnp.sqrt(jnp.sum(W * W, axis=-2))
     order = jnp.argsort(-s, axis=-1)
     s_sorted = jnp.take_along_axis(s, order, axis=-1)
@@ -127,20 +163,20 @@ def jacobi_svd(a, sweeps: int | None = None):
     return u[..., :, :n], s_sorted[..., :n], vt[..., :n, :n]
 
 
-def jacobi_svdvals(a, sweeps: int | None = None):
+def jacobi_svdvals(a, sweeps: int | None = None, unroll: bool | None = None):
     """Batched singular values (descending) of real `a`."""
     n = a.shape[-1]
-    W, _, _ = _jacobi_w_v(a, sweeps)
+    W, _, _ = _jacobi_w_v(a, sweeps, unroll)
     s = jnp.sqrt(jnp.sum(W * W, axis=-2))
     return -jnp.sort(-s, axis=-1)[..., :n]
 
 
-def svt_jacobi(a, lam, sweeps: int | None = None):
+def svt_jacobi(a, lam, sweeps: int | None = None, unroll: bool | None = None):
     """Batched singular-value soft threshold of real `a` (..., m, n):
     U max(S−λ, 0) Vᵀ without forming U — the threshold rescales W's
     columns and one compensated matmul reconstructs W' Vᵀ."""
     n = a.shape[-1]
-    W, V, n_pad = _jacobi_w_v(a, sweeps)
+    W, V, n_pad = _jacobi_w_v(a, sweeps, unroll)
     s2 = jnp.sum(W * W, axis=-2)
     s = jnp.sqrt(s2)
     scale = jnp.maximum(s - lam, 0.0) / jnp.where(s > 0, s, 1.0)

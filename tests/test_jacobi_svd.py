@@ -104,3 +104,25 @@ def test_auto_routes_f64_to_xla(rng):
     # and _use_jacobi only inspects .dtype/.shape
     assert not _use_jacobi(np.zeros((8, 6), np.float64), "auto")
     assert _use_jacobi(np.zeros((8, 6), np.float32), "auto")
+
+
+def test_jacobi_scan_matches_unrolled(rng):
+    """The lax.scan-over-rounds sweep loop (compile-time fix for larger
+    blocks) must reproduce the Python-unrolled loop exactly — same math,
+    same rotation order, only the gather indices become scan inputs."""
+    for shape in ((18, 12), (3, 24, 20), (2, 9, 9)):
+        a = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(svt_jacobi(a, 0.5, unroll=False)),
+            np.asarray(svt_jacobi(a, 0.5, unroll=True)),
+            rtol=0, atol=5e-5,
+        )
+        u0, s0, v0 = jacobi_svd(a, unroll=True)
+        u1, s1, v1 = jacobi_svd(a, unroll=False)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                                   rtol=0, atol=5e-5)
+        np.testing.assert_allclose(
+            np.asarray(jacobi_svdvals(a, unroll=False)),
+            np.asarray(jacobi_svdvals(a, unroll=True)),
+            rtol=0, atol=5e-5,
+        )

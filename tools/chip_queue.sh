@@ -39,4 +39,5 @@ run 7 bench 1200 python bench.py
 run 8 bench_suite_cold 3000 python tools/bench_suite.py
 run 9 bench_suite 1800 python tools/bench_suite.py
 run 10 parity_suite 1800 python tools/parity_suite.py
+run 11 jacobi_table 3000 python tools/jacobi_compile_table.py
 echo "chip queue complete — see $LOG"

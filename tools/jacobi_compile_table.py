@@ -1,11 +1,13 @@
 """Measure Jacobi SVT compile+run time vs minor dimension on the chip
 (VERDICT r2 item 9) and print a markdown table for docs/tpu.md.
 
-The batched one-sided Jacobi SVD (rls_tpu/ops/jacobi_svd.py) python-
-unrolls its sweep loop — ~10 sweeps x (n-1) rotation rounds — so compile
-time grows with the minor dim n. The nuclear/LLR proxes auto-route to it
-for n <= JACOBI_AUTO_GATE; this tool records the data that justifies the
-gate. Run as the only chip user:
+Two sweep-loop variants are measured: the python-UNROLLED loop (~10
+sweeps x (n-1) rotation rounds baked into the program — compile grows
+with n) and the lax.SCAN-over-rounds loop (round body compiles once;
+gather indices are scan inputs). The nuclear/LLR proxes auto-route to
+Jacobi for n <= JACOBI_AUTO_GATE; this tool records the data that
+justifies the gate and the unroll-vs-scan default. Run as the only chip
+user:
 
     python tools/jacobi_compile_table.py
 """
@@ -35,18 +37,21 @@ def main():
         a = jnp.asarray(rng.normal(size=(k, m, n)).astype(np.float32))
         lam = 0.1
 
-        fn = jax.jit(lambda x: svt_jacobi(x, lam))
-        t0 = time.perf_counter()
-        out = fn(a)
-        np.asarray(out)
-        compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        reps = 10
-        for _ in range(reps):
+        timings = {}
+        for label, unroll in (("unroll", True), ("scan", False)):
+            fn = jax.jit(lambda x, u=unroll: svt_jacobi(x, lam, unroll=u))
+            t0 = time.perf_counter()
             out = fn(a)
-        np.asarray(out)
-        run_ms = (time.perf_counter() - t0) / reps * 1e3
-        # f64 accuracy reference
+            np.asarray(out)
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            reps = 10
+            for _ in range(reps):
+                out = fn(a)
+            np.asarray(out)
+            run_ms = (time.perf_counter() - t0) / reps * 1e3
+            timings[label] = (compile_s, run_ms)
+        # f64 accuracy reference (scan output; variants agree to ~1e-5)
         a64 = np.asarray(a, np.float64)
         want = np.zeros_like(a64)
         for j in range(k):
@@ -56,17 +61,22 @@ def main():
             np.linalg.norm(np.asarray(out, np.float64) - want)
             / np.linalg.norm(want)
         )
-        rows.append((n, compile_s, run_ms, err))
+        rows.append((n, *timings["unroll"], *timings["scan"], err))
         print(
-            f"n={n}: compile {compile_s:.1f}s  run {run_ms:.1f}ms  "
+            f"n={n}: unroll compile {timings['unroll'][0]:.1f}s run "
+            f"{timings['unroll'][1]:.1f}ms | scan compile "
+            f"{timings['scan'][0]:.1f}s run {timings['scan'][1]:.1f}ms | "
             f"rel_err {err:.2e}",
             file=sys.stderr, flush=True,
         )
 
-    print("| minor dim n | cold compile (s) | run (ms, k=8 m=2n) | rel err vs f64 |")
-    print("|---|---|---|---|")
-    for n, c, r, e in rows:
-        print(f"| {n} | {c:.1f} | {r:.1f} | {e:.1e} |")
+    print(
+        "| minor dim n | unroll compile (s) | unroll run (ms) "
+        "| scan compile (s) | scan run (ms) | rel err vs f64 |"
+    )
+    print("|---|---|---|---|---|---|")
+    for n, cu, ru, cs, rs, e in rows:
+        print(f"| {n} | {cu:.1f} | {ru:.1f} | {cs:.1f} | {rs:.1f} | {e:.1e} |")
 
 
 if __name__ == "__main__":
