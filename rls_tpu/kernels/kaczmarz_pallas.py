@@ -343,8 +343,12 @@ def check_kaczmarz_streamed(solver):
             "greedy row selection is residual-driven and cannot be "
             "precomputed; use the scan path"
         )
-    if not hasattr(solver.A, "mat"):
-        raise ValueError("streamed path requires a dense operator")
+    from ..ops.sparse import PaddedCSROperator
+
+    if not (hasattr(solver.A, "mat") or isinstance(solver.A, PaddedCSROperator)):
+        raise ValueError(
+            "streamed path requires a dense or padded-CSR operator"
+        )
     if solver.randomized and solver.precomputed_order is None:
         raise ValueError(
             "randomized mode needs a host-precomputed order — construct "
@@ -359,8 +363,8 @@ def check_kaczmarz_streamed(solver):
     # VMEM feasibility: per-problem u/vl/denom live as (m/128, 128) VMEM
     # tiles plus x planes and the streamed row block — gate so the auto
     # dispatcher falls back to the composed path instead of a Mosaic OOM
-    m, n = solver.A.mat.shape
-    ncomp = 2 if jnp.issubdtype(solver.A.mat.dtype, jnp.complexfloating) else 1
+    m, n = solver.A.out_size, solver.A.in_size
+    ncomp = 2 if jnp.issubdtype(solver.A.dtype, jnp.complexfloating) else 1
     vmem_bytes = (
         (2 * ncomp + 1) * (-(-m // 128) * 128)  # u, vl, denom tiles
         + 2 * ncomp * n  # x in/out planes
@@ -443,10 +447,17 @@ def solve_kaczmarz_streamed(
     Kaczmarz.jl:264-317) with the same per-sweep Positive/Real projection.
     """
     prox = check_kaczmarz_streamed(solver)
-    mat = jnp.asarray(solver.A.mat)
-    is_complex = jnp.issubdtype(mat.dtype, jnp.complexfloating)
+    is_csr = not hasattr(solver.A, "mat")
+    if is_csr:  # PaddedCSROperator (check validated the type)
+        csr_vals = jnp.asarray(solver.A.vals)
+        csr_cols = jnp.asarray(solver.A.cols)
+        a_dtype = csr_vals.dtype
+    else:
+        mat = jnp.asarray(solver.A.mat)
+        a_dtype = mat.dtype
+    is_complex = jnp.issubdtype(a_dtype, jnp.complexfloating)
     ncomp = 2 if is_complex else 1
-    m, n = mat.shape
+    m, n = solver.A.out_size, solver.A.in_size
     T = solver.iterations
 
     B_mat = jnp.asarray(B_mat)
@@ -491,7 +502,19 @@ def solve_kaczmarz_streamed(
 
     def gather_rows(idx_tab):
         visit = jnp.maximum(idx_tab.reshape(-1), 0)  # clamp the -1 pads
-        g = mat[visit]  # rows in visit order
+        if is_csr:
+            # densify ONLY the visited rows (scatter-add: padding entries
+            # are val 0 at col 0, so they contribute nothing, and the add
+            # keeps genuine col-0 values intact); storage stays O(nnz),
+            # the transient dense chunk is bounded by the chunk budget
+            v = csr_vals[visit]  # (R, k_max)
+            c = csr_cols[visit]
+            g = jnp.zeros((visit.shape[0], n), a_dtype)
+            g = g.at[
+                jnp.arange(visit.shape[0])[:, None], c
+            ].add(v)
+        else:
+            g = mat[visit]  # rows in visit order
         if ncomp == 2:
             return jnp.stack([g.real, g.imag], axis=1).reshape(-1, n)
         return g

@@ -536,3 +536,44 @@ def test_kaczmarz_greedy_kernel_rejects_unsupported(rng):
     )
     with pytest.raises(ValueError, match="greedy"):
         check_kaczmarz_greedy(s)
+
+
+def test_kaczmarz_streamed_padded_csr_matches_dense(rng):
+    """PaddedCSROperator rides the streamed fast path: the visited rows
+    are densified per chunk (scatter-add), so sparse storage stays
+    O(nnz) while the kernel sees identical row blocks — results must
+    equal the dense-operator streamed solve bit-for-bit."""
+    from rls_tpu.kernels.kaczmarz_pallas import (
+        check_kaczmarz_streamed,
+        solve_kaczmarz_streamed,
+    )
+    from rls_tpu.ops.sparse import PaddedCSROperator
+
+    m, n, P = 24, 16, 2
+    A = rng.normal(size=(m, n)).astype(np.float32)
+    A[rng.uniform(size=A.shape) < 0.6] = 0.0
+    A[:, 0] = rng.normal(size=m)  # genuine col-0 values vs pad collisions
+    B = jnp.asarray(rng.normal(size=(m, P)), jnp.float32)
+    for kwargs in (
+        dict(iterations=3),
+        dict(iterations=5, randomized=True, sub_matrix_fraction=0.4,
+             precompute_order=True),
+    ):
+        s_d = rt.Kaczmarz.create(
+            rt.DenseOperator(jnp.asarray(A)),
+            reg=[rt.L2Regularization(1e-3), rt.PositiveRegularization()],
+            **kwargs)
+        s_c = rt.Kaczmarz.create(
+            PaddedCSROperator.from_dense(A),
+            reg=[rt.L2Regularization(1e-3), rt.PositiveRegularization()],
+            **kwargs)
+        check_kaczmarz_streamed(s_c)  # CSR accepted by the dispatcher
+        want = np.asarray(
+            solve_kaczmarz_streamed(s_d, B, block_rows=8, interpret=True))
+        got = np.asarray(
+            solve_kaczmarz_streamed(s_c, B, block_rows=8, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+        if kwargs.get("randomized"):
+            got_c = np.asarray(solve_kaczmarz_streamed(
+                s_c, B, block_rows=8, interpret=True, chunk_sweeps=2))
+            np.testing.assert_allclose(got_c, want, rtol=0, atol=1e-6)

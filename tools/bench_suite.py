@@ -212,6 +212,22 @@ def main():
          np.linalg.norm(x5[:, 0] - xtk) / np.linalg.norm(xtk),
          timeit(f5, B5), 16, "problems/s")
 
+    # ---- 5a. same tall system with PADDED-CSR storage (O(nnz); visited
+    # rows densified per chunk inside the streamed driver) ------------------
+    from rls_tpu.ops.sparse import PaddedCSROperator
+
+    s5c = rt.Kaczmarz.create(
+        PaddedCSROperator.from_dense(Ak),
+        reg=[rt.L2Regularization(1e-6), rt.PositiveRegularization()],
+        iterations=20, randomized=True, sub_matrix_fraction=0.0625,
+        precompute_order=True,
+    )
+    f5c = jax.jit(lambda B_: solve_kaczmarz_streamed(s5c, B_))
+    x5c = np.asarray(f5c(B5))
+    emit("kaczmarz_rand_pos_tall_b16_csr",
+         np.linalg.norm(x5c[:, 0] - xtk) / np.linalg.norm(xtk),
+         timeit(f5c, B5), 16, "problems/s")
+
     # ---- 5b. streamed Kaczmarz BEYOND the VMEM whole-matrix limit --------
     mk2, nk2 = 8192, 2048  # 64 MiB f32 matrix — 5x the 12 MiB VMEM budget
     Ak2 = (rng.normal(size=(mk2, nk2)) / np.sqrt(nk2)).astype(np.float32)

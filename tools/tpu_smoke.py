@@ -123,6 +123,38 @@ def main():
     results["kaczmarz_streamed"] = (np.isfinite(got).all(), dev_err)
     print(f"kaczmarz_streamed: vs_composed={dev_err:.2e}", file=sys.stderr)
 
+    # chunked streamed Kaczmarz: forced tiny sweep chunks (the
+    # HBM-bounded randomized driver) must equal the single-call kernel
+    got_c = np.asarray(
+        jax.jit(lambda B: solve_kaczmarz_streamed(s, B, chunk_sweeps=2))(Bk)
+    )
+    dev_err = float(np.abs(got_c - got).max() / (np.abs(got).max() + 1e-30))
+    results["kaczmarz_streamed_chunked"] = (np.isfinite(got_c).all(), dev_err)
+    print(f"kaczmarz_streamed_chunked: vs_single_call={dev_err:.2e}",
+          file=sys.stderr)
+    assert dev_err < 1e-5, "chunked sweeps must match the single call"
+
+    # fused whole-solve CGNR (compensated MXU matvecs, in-kernel CG)
+    from rls_tpu.kernels import solve_cgnr_fused
+
+    s_cg = rt.CGNR.create(
+        rt.DenseOperator(A), reg=rt.L2Regularization(1e-6), iterations=64
+    )
+    Bcg = jnp.tile(bk[:, None], (1, 4))
+    got = np.asarray(jax.jit(lambda B: solve_cgnr_fused(s_cg, B))(Bcg))
+    want = np.asarray(jax.jit(lambda B: solve_batched_unrolled(s_cg, B))(Bcg))
+    dev_err = float(np.abs(got - want).max() / (np.abs(want).max() + 1e-30))
+    sol_err = float(
+        np.linalg.norm(got[:, 0] - np.asarray(xk))
+        / np.linalg.norm(np.asarray(xk))
+    )
+    results["cgnr_fused"] = (np.isfinite(got).all(), sol_err)
+    print(f"cgnr_fused: vs_composed={dev_err:.2e} sol_err={sol_err:.2e}",
+          file=sys.stderr)
+    # composed runs bf16 matmuls on chip (~4e-3); the fused kernel is
+    # compensated — require it to SOLVE accurately, not merely agree
+    assert sol_err < 1e-3, "fused CGNR must reach the f32 solution on chip"
+
     # SVD proxes on-chip: Jacobi SVT vs CPU f64 (nuclear + LLR)
     from rls_tpu.ops.jacobi_svd import svt_jacobi
 
@@ -135,6 +167,14 @@ def main():
     results["svt_jacobi"] = (np.isfinite(got).all(), dev_err)
     print(f"svt_jacobi: vs_f64={dev_err:.2e}", file=sys.stderr)
     assert dev_err < 1e-4, "Jacobi SVT must hold 1e-4 parity on chip"
+
+    # scan-over-rounds Jacobi (the large-block compile-time mode) must
+    # hold the same parity on chip
+    got = np.asarray(jax.jit(lambda a: svt_jacobi(a, 0.8, unroll=False))(Ab))
+    dev_err = float(np.linalg.norm(got - want) / np.linalg.norm(want))
+    results["svt_jacobi_scan"] = (np.isfinite(got).all(), dev_err)
+    print(f"svt_jacobi_scan: vs_f64={dev_err:.2e}", file=sys.stderr)
+    assert dev_err < 1e-4, "scan-mode Jacobi SVT must hold 1e-4 on chip"
 
     nreg = rt.NuclearRegularization(0.05, svt_shape=(32, 32))
     xn = jnp.asarray(rng.normal(size=(32 * 32,)).astype(np.float32))
