@@ -5,6 +5,7 @@ from .mesh import (
     shard_batch,
     solve_batched_sharded,
     solve_admm_tv_fused_sharded,
+    solve_cgnr_fused_sharded,
     solve_fista_tv_fused_sharded,
     solve_fused_sharded,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "solve_batched_sharded",
     "solve_fista_tv_fused_sharded",
     "solve_admm_tv_fused_sharded",
+    "solve_cgnr_fused_sharded",
     "solve_fused_sharded",
     "initialize_multihost",
     "is_multihost",

@@ -136,3 +136,12 @@ def solve_admm_tv_fused_sharded(
     from ..kernels import solve_admm_tv_fused
 
     return solve_fused_sharded(solve_admm_tv_fused, solver, B, mesh, axis, interpret)
+
+
+def solve_cgnr_fused_sharded(
+    solver, B, mesh: Mesh, axis: str = "batch", interpret=None
+):
+    """Sharded fused whole-solve CGNR (see solve_fused_sharded)."""
+    from ..kernels import solve_cgnr_fused
+
+    return solve_fused_sharded(solve_cgnr_fused, solver, B, mesh, axis, interpret)

@@ -147,3 +147,24 @@ def test_row_sharded_hlo_psum_no_allgather(rng):
     hlo = jax.jit(rt.solve).lower(s, b_sh).compile().as_text()
     assert "all-reduce" in hlo
     assert "all-gather" not in hlo, "row-sharded solve gathered A or y"
+
+
+def test_fused_cgnr_sharded(rng):
+    """Sharded fused whole-solve CGNR must match the unsharded kernel."""
+    import jax
+
+    from rls_tpu.kernels import solve_cgnr_fused
+    from rls_tpu.parallel import make_mesh, solve_cgnr_fused_sharded
+
+    ndev = len(jax.devices())
+    m, n, batch = 24, 16, 2 * ndev
+    A = jnp.asarray(rng.normal(size=(m, n)) / np.sqrt(n), jnp.float32)
+    solver = rt.CGNR.create(
+        rt.DenseOperator(A), reg=rt.L2Regularization(1e-3), iterations=10
+    )
+    X = jnp.asarray(rng.normal(size=(n, batch)), jnp.float32)
+    B = A @ X
+    mesh = make_mesh(axis_names=("batch",))
+    got = np.asarray(solve_cgnr_fused_sharded(solver, B, mesh, interpret=True))
+    want = np.asarray(solve_cgnr_fused(solver, B, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
