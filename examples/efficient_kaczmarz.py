@@ -63,6 +63,18 @@ x = rt.solve(solver, b_sp)
 print("padded-CSR sparse rel_err:",
       float(jnp.linalg.norm(x - x_true) / jnp.linalg.norm(x_true)))
 
+# ...and sparse storage rides the streamed fast path too: the driver
+# densifies only the VISITED rows per sweep chunk (bounded HBM), the
+# kernel sees identical row blocks
+solver = rt.Kaczmarz.create(
+    rt.PaddedCSROperator.from_dense(A_sp), reg=rt.L2Regularization(1e-6),
+    iterations=30, randomized=True, sub_matrix_fraction=0.5,
+    precompute_order=True,
+)
+Xs = rt.solve_kaczmarz_streamed(solver, b_sp[:, None])
+print("padded-CSR streamed rel_err:",
+      float(jnp.linalg.norm(Xs[:, 0] - x_true) / jnp.linalg.norm(x_true)))
+
 # greedy-randomized mode (residual-driven e_k-thresholded sampling,
 # reference Kaczmarz.jl:393-426) — the fused sweep kernel runs each
 # S-step sweep as ONE Pallas call (2.1x the scan path on chip)

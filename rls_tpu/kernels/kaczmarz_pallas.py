@@ -586,7 +586,7 @@ def solve_kaczmarz_streamed(
             interpret=interpret,
         )
     if ncomp == 2:
-        sol = (x[:, 0, :] + 1j * x[:, 1, :]).astype(mat.dtype)
+        sol = (x[:, 0, :] + 1j * x[:, 1, :]).astype(a_dtype)
     else:
         sol = x[:, 0, :]
     if solver.tikhonov_inv_sqrt is not None:

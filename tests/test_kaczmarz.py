@@ -577,3 +577,29 @@ def test_kaczmarz_streamed_padded_csr_matches_dense(rng):
             got_c = np.asarray(solve_kaczmarz_streamed(
                 s_c, B, block_rows=8, interpret=True, chunk_sweeps=2))
             np.testing.assert_allclose(got_c, want, rtol=0, atol=1e-6)
+
+
+def test_kaczmarz_streamed_padded_csr_complex(rng):
+    """Complex padded-CSR systems take the split-real streamed path with
+    per-chunk densified rows (regression: the complex reassembly read the
+    dense operator's dtype, which a CSR operator doesn't have)."""
+    from rls_tpu.kernels.kaczmarz_pallas import solve_kaczmarz_streamed
+    from rls_tpu.models.solvers import solve_batched_unrolled
+    from rls_tpu.ops.sparse import PaddedCSROperator
+
+    m, n, P = 24, 16, 2
+    A = (rng.normal(size=(m, n)) + 1j * rng.normal(size=(m, n))).astype(
+        np.complex64
+    )
+    A[rng.uniform(size=A.shape) < 0.5] = 0.0
+    Bc = jnp.asarray(
+        rng.normal(size=(m, P)) + 1j * rng.normal(size=(m, P)), jnp.complex64
+    )
+    s = rt.Kaczmarz.create(
+        PaddedCSROperator.from_dense(A), reg=rt.L2Regularization(1e-3),
+        iterations=3)
+    want = np.asarray(solve_batched_unrolled(s, Bc))
+    got = np.asarray(
+        solve_kaczmarz_streamed(s, Bc, block_rows=8, interpret=True))
+    assert got.dtype == np.complex64
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-5
