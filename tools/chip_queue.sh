@@ -40,4 +40,7 @@ run 8 bench_suite_cold 3000 python tools/bench_suite.py
 run 9 bench_suite 1800 python tools/bench_suite.py
 run 10 parity_suite 1800 python tools/parity_suite.py
 run 11 jacobi_table 3000 python tools/jacobi_compile_table.py
+# full on-chip pytest suite + skip census (refreshes TPU_SUITE_r03.md
+# with the session's new tests); runs last — it is the longest step
+run 12 tpu_suite_census 7200 python tools/tpu_suite_report.py
 echo "chip queue complete — see $LOG"
