@@ -12,9 +12,9 @@ call:
   matmul and every per-problem dot a lane reduction;
 * both matvec factors (Aᵀ for the forward, A for the adjoint) sit
   VMEM-resident as pre-split ``[hi | lo]`` bf16 pairs, and every matmul
-  is compensated in the concat-free 2-matmul form (see
-  `_fgp_common.make_gram_normal_noconcat`) — f32-accurate Krylov
-  recurrences on a bf16-input MXU;
+  is FULLY compensated (all four hi/lo cross products as two stacked
+  matmuls — see `_mm_comp`; Krylov recurrences amplify the lo·lo term
+  the cheaper 3-term form drops) — f32-accurate on a bf16-input MXU;
 * the division guards match `CGNR.step` exactly (identity step once CG
   has terminated), so the kernel reproduces `solve_batched_unrolled`
   bit-for-bit in exact arithmetic — including running the fixed
@@ -42,24 +42,33 @@ __all__ = ["check_cgnr_fused", "solve_cgnr_fused"]
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 
-def _mm_comp(x, m2, mh, out_cols: int):
-    """Compensated ``x @ M`` with M pre-split column-stacked ``[hi | lo]``
-    (m2: (in, 2·out)) and ``mh`` the hi half alone. Both operands of every
-    MXU matmul are exactly bf16-representable, so the result is the same
-    on bf16-rounding MXUs and f32-native backends."""
+def _mm_comp(x, m2, out_cols: int):
+    """FULLY compensated ``x @ M`` with M pre-split column-stacked
+    ``[hi | lo]`` (m2: (in, 2·out)): both the hi AND lo parts of x hit
+    both halves — all FOUR cross products. The usual 3-term form drops
+    lo·lo (~2⁻¹⁶ relative), which is harmless in the self-correcting
+    prox-gradient kernels but gets amplified by Krylov recurrences
+    (measured: 3-term CGNR drifted to 3e-2 at cond≈1e2 over 20
+    iterations where the composed f32 path held 2e-5; 4-term matches).
+    Both operands of every MXU matmul are exactly bf16-representable, so
+    the result is the same on bf16-rounding MXUs and f32-native
+    backends."""
     xh, xl = split_bf16(x)
-    m2out = jnp.dot(xh, m2, preferred_element_type=jnp.float32)
-    corr = jnp.dot(xl, mh, preferred_element_type=jnp.float32)
-    return m2out[:, :out_cols] + m2out[:, out_cols:] + corr
+    hi = jnp.dot(xh, m2, preferred_element_type=jnp.float32)
+    lo = jnp.dot(xl, m2, preferred_element_type=jnp.float32)
+    return (
+        hi[:, :out_cols]
+        + hi[:, out_cols:]
+        + lo[:, :out_cols]
+        + lo[:, out_cols:]
+    )
 
 
 def _kernel(
     lam_ref,  # VMEM (P, 1) per-problem effective λ
     b_ref,  # VMEM (P, m)
     mf2_ref,  # VMEM (n, 2m) [Aᵀ_hi | Aᵀ_lo] — forward factor
-    mfh_ref,  # VMEM (n, m)  Aᵀ_hi
     ma2_ref,  # VMEM (m, 2n) [A_hi | A_lo] — adjoint factor
-    mah_ref,  # VMEM (m, n)  A_hi
     x_out,  # VMEM (P, n)
     *,
     steps: int,
@@ -69,19 +78,17 @@ def _kernel(
 ):
     lam = lam_ref[...]
     mf2 = mf2_ref[...]
-    mfh = mfh_ref[...]
     ma2 = ma2_ref[...]
-    mah = mah_ref[...]
 
     # r₀ = Aᴴ b (x₀ = 0); p₀ = r₀ — derived from loaded data (Mosaic will
     # not relayout a splatted constant into a loop carry)
-    r0 = _mm_comp(b_ref[...], ma2, mah, n)
+    r0 = _mm_comp(b_ref[...], ma2, n)
     x0 = r0 * 0.0
 
     def body(_, carry):
         x, r, p = carry
-        q = _mm_comp(p, mf2, mfh, m)  # A p
-        v = _mm_comp(q, ma2, mah, n)  # Aᴴ A p
+        q = _mm_comp(p, mf2, m)  # A p
+        v = _mm_comp(q, ma2, n)  # Aᴴ A p
         zeta = jnp.sum(r * r, axis=1, keepdims=True)
         pv = jnp.sum(p * v, axis=1, keepdims=True)
         pp = jnp.sum(p * p, axis=1, keepdims=True)
@@ -133,11 +140,11 @@ def check_cgnr_fused(solver):
     m, n = solver.A.mat.shape
     if jnp.issubdtype(solver.A.mat.dtype, jnp.complexfloating):
         m, n = 2 * m, 2 * n  # split-real embedding doubles both dims
-    # both pre-split factors (6mn floats) + double the per-problem planes
+    # both pre-split [hi | lo] factors (4mn floats) + per-problem-plane
     # headroom must fit the scoped-VMEM budget
-    if 6 * m * n * 4 + 2 * 1024 * 1024 > _VMEM_BUDGET_BYTES:
+    if 4 * m * n * 4 + 2 * 1024 * 1024 > _VMEM_BUDGET_BYTES:
         raise ValueError(
-            f"fused CGNR factors for a {m}x{n} matrix (~{6*m*n*4/2**20:.0f}"
+            f"fused CGNR factors for a {m}x{n} matrix (~{4*m*n*4/2**20:.0f}"
             " MiB) exceed VMEM; use the scan path"
         )
     if any(isinstance(r, PositiveRegularization) for r in solver.constr):
@@ -199,9 +206,9 @@ def solve_cgnr_fused(solver, B_mat, interpret: bool | None = None):
     )
 
     per_problem = P * (4 * n + 2 * m) * 4  # x/r/p/q live planes + b + out
-    if 6 * m * n * 4 + per_problem > _VMEM_BUDGET_BYTES:
+    if 4 * m * n * 4 + per_problem > _VMEM_BUDGET_BYTES:
         raise ValueError(
-            f"fused CGNR working set ~{(6*m*n*4 + per_problem)/2**20:.0f} "
+            f"fused CGNR working set ~{(4*m*n*4 + per_problem)/2**20:.0f} "
             "MiB exceeds VMEM at this batch size; split the batch"
         )
 
@@ -217,11 +224,11 @@ def solve_cgnr_fused(solver, B_mat, interpret: bool | None = None):
         functools.partial(
             _kernel, steps=solver.total_steps, m=m, n=n, prox=prox
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, n), jnp.float32),
         interpret=interpret,
-    )(lam, bt, mf2, at_hi, ma2, a_hi)
+    )(lam, bt, mf2, ma2)
     if is_cplx:
         dt_c = (
             mat0.dtype

@@ -213,3 +213,57 @@ def test_fuzz_complex_invariants(name):
         x_np, np.asarray(x_tr), rtol=2e-4, atol=2e-5,
         err_msg=f"{name}: solve vs solve_trace disagree",
     )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_cgnr_fused_matches_composed(seed):
+    """The fused whole-solve CGNR kernel must agree with the composed
+    unrolled path across random systems, shapes, batch sizes, λ scales,
+    normalization strategies, constraints, and real/complex dtypes."""
+    from rls_tpu.kernels import solve_cgnr_fused
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    rng = np.random.default_rng(zlib.crc32(f"cgnr-fused-{seed}".encode()))
+    m = int(rng.integers(12, 48))
+    n = int(rng.integers(8, min(m, 32)))
+    P = int(rng.integers(1, 6))
+    is_cplx = bool(rng.integers(0, 2))
+    # keep cond(AᴴA) moderate (diagonal boost, like _problem): near-square
+    # random systems are near-singular and two f32 Krylov paths then
+    # legitimately diverge at the κ·ε level — path agreement is only a
+    # meaningful invariant in the well-conditioned regime
+    if is_cplx:
+        A = (rng.normal(size=(m, n)) + 1j * rng.normal(size=(m, n))).astype(
+            np.complex64
+        ) / np.sqrt(2 * n) + 2.0 * np.eye(m, n, dtype=np.complex64)
+        B = jnp.asarray(
+            rng.normal(size=(m, P)) + 1j * rng.normal(size=(m, P)),
+            jnp.complex64,
+        )
+    else:
+        A = rng.normal(size=(m, n)).astype(np.float32) / np.sqrt(n) + 2.0 * (
+            np.eye(m, n, dtype=np.float32)
+        )
+        B = jnp.asarray(rng.normal(size=(m, P)), jnp.float32)
+    lam = float(10.0 ** rng.uniform(-5, -2))
+    regs = [rt.L2Regularization(lam)]
+    if not is_cplx and rng.integers(0, 2):
+        regs.append(rt.PositiveRegularization())
+    norm = [
+        rt.NoNormalization(),
+        rt.MeasurementBasedNormalization(),
+        rt.SystemMatrixBasedNormalization(),
+    ][int(rng.integers(0, 3))]
+    s = rt.CGNR.create(
+        rt.DenseOperator(jnp.asarray(A)),
+        reg=regs if len(regs) > 1 else regs[0],
+        normalize_reg=norm,
+        iterations=int(rng.integers(4, 40)),
+    )
+    want = np.asarray(solve_batched_unrolled(s, B))
+    got = np.asarray(solve_cgnr_fused(s, B, interpret=True))
+    assert np.isfinite(got).view(np.uint8).all()
+    err = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-30)
+    # cond(AᴴA) ≤ ~20 by construction, so the two f32 paths must agree
+    # tightly — this caught the 3-term compensation dropping lo·lo
+    assert err < 1e-5, (seed, m, n, P, is_cplx, err)
