@@ -43,4 +43,10 @@ run 11 jacobi_table 3000 python tools/jacobi_compile_table.py
 # full on-chip pytest suite + skip census (refreshes TPU_SUITE_r03.md
 # with the session's new tests); runs last — it is the longest step
 run 12 tpu_suite_census 7200 python tools/tpu_suite_report.py
+# distill the log into a committed artifact so the chip evidence
+# survives the round even if no one is at the keyboard
+python tools/chip_summary.py "$LOG" CHIP_RESULTS_r03.md \
+  && git add CHIP_RESULTS_r03.md TPU_SUITE_r03.md 2>/dev/null \
+  && git commit -q -m "Chip backlog results (auto-extracted from the queue log)" \
+  || true
 echo "chip queue complete — see $LOG"
