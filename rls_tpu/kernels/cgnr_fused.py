@@ -152,7 +152,9 @@ def check_cgnr_fused(solver):
     return "none"  # Real projection is the identity on real systems
 
 
-def solve_cgnr_fused(solver, B_mat, interpret: bool | None = None):
+def solve_cgnr_fused(
+    solver, B_mat, interpret: bool | None = None, batch_chunk: int | None = None
+):
     """Drop-in fast path for ``solve_batched_unrolled(solver, B)`` on a
     dense CGNR solver: the whole batch of K-iteration CG solves runs as
     ONE Pallas call (columns of ``B_mat`` are problems; returns n × K).
@@ -205,13 +207,6 @@ def solve_cgnr_fused(solver, B_mat, interpret: bool | None = None):
         P, 1
     )
 
-    per_problem = P * (4 * n + 2 * m) * 4  # x/r/p/q live planes + b + out
-    if 4 * m * n * 4 + per_problem > _VMEM_BUDGET_BYTES:
-        raise ValueError(
-            f"fused CGNR working set ~{(4*m*n*4 + per_problem)/2**20:.0f} "
-            "MiB exceeds VMEM at this batch size; split the batch"
-        )
-
     at_hi, at_lo = split_bf16(mat.T)
     a_hi, a_lo = split_bf16(mat)
     mf2 = jnp.concatenate([at_hi, at_lo], axis=1)  # (n, 2m)
@@ -220,15 +215,38 @@ def solve_cgnr_fused(solver, B_mat, interpret: bool | None = None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    x = pl.pallas_call(
-        functools.partial(
-            _kernel, steps=solver.total_steps, m=m, n=n, prox=prox
-        ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P, n), jnp.float32),
-        interpret=interpret,
-    )(lam, bt, mf2, ma2)
+    # batch chunking: x/r/p/q live planes + b + out per problem must fit
+    # beside the factors; oversized batches run as several kernel calls
+    per_problem = (4 * n + 2 * m) * 4
+    p_max = (
+        batch_chunk
+        if batch_chunk is not None
+        else max(
+            1, (_VMEM_BUDGET_BYTES - 4 * m * n * 4) // max(per_problem, 1)
+        )
+    )
+
+    def run(lam_c, bt_c):
+        return pl.pallas_call(
+            functools.partial(
+                _kernel, steps=solver.total_steps, m=m, n=n, prox=prox
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bt_c.shape[0], n), jnp.float32),
+            interpret=interpret,
+        )(lam_c, bt_c, mf2, ma2)
+
+    if P > p_max:
+        x = jnp.concatenate(
+            [
+                run(lam[i : i + p_max], bt[i : i + p_max])
+                for i in range(0, P, p_max)
+            ],
+            axis=0,
+        )
+    else:
+        x = run(lam, bt)
     if is_cplx:
         dt_c = (
             mat0.dtype

@@ -1277,3 +1277,23 @@ def test_cgnr_fused_real_A_complex_b(rng):
     out = np.asarray(solve_cgnr_fused(s, B, interpret=True))
     assert out.dtype == np.complex64
     assert np.linalg.norm(out - ref) / np.linalg.norm(ref) < 3e-4
+
+
+def test_cgnr_fused_batch_chunking(rng):
+    """Batches beyond the per-call VMEM allowance run as several kernel
+    calls (batch_chunk) with identical results."""
+    from rls_tpu.kernels import solve_cgnr_fused
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    A, B = _cgnr_fused_system(rng, m=32, n=20, P=7)
+    s = rt.CGNR.create(
+        rt.DenseOperator(A), reg=rt.L2Regularization(1e-3), iterations=12
+    )
+    full = np.asarray(solve_cgnr_fused(s, B, interpret=True))
+    for bc in (1, 3):  # 3 does not divide 7 — ragged final chunk
+        chunked = np.asarray(
+            solve_cgnr_fused(s, B, interpret=True, batch_chunk=bc)
+        )
+        np.testing.assert_allclose(chunked, full, rtol=0, atol=0)
+    ref = np.asarray(solve_batched_unrolled(s, B))
+    assert np.linalg.norm(full - ref) / np.linalg.norm(ref) < 2e-4
