@@ -15,6 +15,7 @@ from .kaczmarz_pallas import (
     kaczmarz_sweep_pallas,
     solve_kaczmarz_streamed,
 )
+from .pdhg_fused import check_pdhg_fused, pdhg_fused, solve_pdhg_fused
 from .splitbregman_fused import (
     splitbregman_l1_tv_sense_fused,
     solve_splitbregman_l1_tv_fused,
@@ -30,6 +31,9 @@ __all__ = [
     "solve_batched_fast",
     "check_cgnr_fused",
     "solve_cgnr_fused",
+    "check_pdhg_fused",
+    "pdhg_fused",
+    "solve_pdhg_fused",
     "admm_tv_fused",
     "fista_l1_dft_fused",
     "solve_fista_l1_dft_fused",

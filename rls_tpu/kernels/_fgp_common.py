@@ -34,6 +34,7 @@ __all__ = [
     "make_gram_normal",
     "make_gram_normal_noconcat",
     "make_sepconv_normal_stencil",
+    "make_sepconv_stencil_ops",
     "make_sepconv_normal_stencil_window",
     "make_split_dft",
     "make_sense_normal",
@@ -192,19 +193,21 @@ def make_sense_normal(cfwd, cadj, mask, cr_ref, ci_ref, n_coils: int):
     return normal
 
 
-def make_sepconv_normal_stencil(
+def make_sepconv_stencil_ops(
     taps_h, taps_w, H: int, W: int, dtype, groups: int = 1
 ):
-    """Separable-conv Gram `AᴴA u` as four zero-padded VPU stencil passes
-    (col-conv, col-corr, row-conv, row-corr) — exact f32, no MXU at all.
+    """Separable-conv `(fwd, adj, normal)` as zero-padded VPU stencil
+    passes — exact f32, no MXU at all.
 
-    `B_h u B_wᵀ` with banded B = AᵀA equals `a_hᵀ(a_h u)` column-wise then
-    `(· a_wᵀ) a_w` row-wise; each pass is the 1-D "same" zero-padded
-    conv/correlation, realized as `pltpu.roll` + inline iota masks (the
-    masks zero the wrapped entries, reproducing the zero padding — and the
-    banded matrices' boundary rows — exactly). For a k-tap kernel this is
-    ~4k fused VPU ops/pixel vs the compensated matmuls' 12·H MACs/pixel:
-    the MXU path wins for dense factors, the stencil wins for short taps.
+    The operator is `A u = a_h u a_wᵀ` with banded a (SAME zero-padded
+    1-D conv per axis, band layout a[c, c+i−k//2] = taps[i]); `fwd` is
+    the col-pass + row-pass pair, `adj` the transposed passes, `normal`
+    the four-pass Gram `AᴴA u`. Each pass is realized as `pltpu.roll` +
+    inline iota masks (the masks zero the wrapped entries, reproducing
+    the zero padding — and the banded matrices' boundary rows —
+    exactly). For a k-tap kernel this is ~2k (fwd/adj) or ~4k (normal)
+    fused VPU ops/pixel vs the compensated matmuls' MACs/pixel: the MXU
+    path wins for dense factors, the stencil wins for short taps.
 
     ``groups`` stacks G independent problems along the row axis (input
     (G·H, W)): the period-H masks zero cross-problem leakage at every
@@ -245,6 +248,12 @@ def make_sepconv_normal_stencil(
             acc = term if acc is None else acc + term
         return acc
 
+    def fwd(u):
+        return _pass(_pass(u, th, 0, adjoint=False), tw, 1, adjoint=False)
+
+    def adj(u):
+        return _pass(_pass(u, th, 0, adjoint=True), tw, 1, adjoint=True)
+
     def normal(u):
         v = _pass(u, th, 0, adjoint=False)
         v = _pass(v, th, 0, adjoint=True)
@@ -252,7 +261,14 @@ def make_sepconv_normal_stencil(
         v = _pass(v, tw, 1, adjoint=True)
         return v
 
-    return normal
+    return fwd, adj, normal
+
+
+def make_sepconv_normal_stencil(
+    taps_h, taps_w, H: int, W: int, dtype, groups: int = 1
+):
+    """Gram-only view of `make_sepconv_stencil_ops` (see there)."""
+    return make_sepconv_stencil_ops(taps_h, taps_w, H, W, dtype, groups)[2]
 
 
 def make_sepconv_normal_stencil_window(

@@ -26,6 +26,7 @@ from .fista_l1_dft_fused import (
     solve_fista_l1_dft_fused,
 )
 from .kaczmarz_greedy import check_kaczmarz_greedy, solve_kaczmarz_greedy
+from .pdhg_fused import check_pdhg_fused, solve_pdhg_fused
 from .kaczmarz_pallas import check_kaczmarz_streamed, solve_kaczmarz_streamed
 from .sense_fused import check_fista_l21_sense_fused, solve_fista_l21_sense_fused
 from .fista_tv_fused import check_pgm_tv_fused, solve_pgm_tv_fused
@@ -49,6 +50,7 @@ _FUSED_WRAPPERS = (
      solve_splitbregman_l1_tv_fused),
     ("fista_l1_dft", check_fista_l1_dft_fused, solve_fista_l1_dft_fused),
     ("fista_l21_sense", check_fista_l21_sense_fused, solve_fista_l21_sense_fused),
+    ("pdhg", check_pdhg_fused, solve_pdhg_fused),
     ("kaczmarz_greedy", check_kaczmarz_greedy, solve_kaczmarz_greedy),
     ("kaczmarz_streamed", check_kaczmarz_streamed, solve_kaczmarz_streamed),
 )

@@ -1297,3 +1297,99 @@ def test_cgnr_fused_batch_chunking(rng):
         np.testing.assert_allclose(chunked, full, rtol=0, atol=0)
     ref = np.asarray(solve_batched_unrolled(s, B))
     assert np.linalg.norm(full - ref) / np.linalg.norm(ref) < 2e-4
+
+
+# --------------------------------------------------------------------------
+# fused PDHG (primal-dual)
+# --------------------------------------------------------------------------
+
+
+def _pdhg_problem(rng, n=24, P=3):
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    g /= g.sum()
+    op = rt.SeparableConvOperator.from_taps(g, g, im_shape=(n, n))
+    X = jnp.asarray(rng.normal(size=(P, n * n)), jnp.float32)
+    B = jax.vmap(op.mv)(X).T
+    return op, B
+
+
+def test_pdhg_fused_tv8_matches_composed(rng):
+    from rls_tpu.kernels import solve_pdhg_fused
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    n = 24
+    op, B = _pdhg_problem(rng, n=n)
+    for kwargs in (dict(), dict(enforce_positive=True, enforce_real=True)):
+        s = rt.PDHG.create(
+            op,
+            reg=rt.TVRegularization(5e-3, shape=(n, n)),
+            iterations=12,
+            **kwargs,
+        )
+        assert s.tv_scheme == "8dir"
+        want = np.asarray(solve_batched_unrolled(s, B))
+        got = np.asarray(solve_pdhg_fused(s, B, interpret=True))
+        err = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert err < 1e-5, (kwargs, err)
+
+
+def test_pdhg_fused_l1_matches_composed(rng):
+    from rls_tpu.kernels import solve_pdhg_fused
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    n = 16
+    op, B = _pdhg_problem(rng, n=n, P=2)
+    s = rt.PDHG.create(
+        op, reg=rt.L1Regularization(1e-3), iterations=15,
+        normalize_reg=rt.MeasurementBasedNormalization(),
+    )
+    want = np.asarray(solve_batched_unrolled(s, B))
+    got = np.asarray(solve_pdhg_fused(s, B, interpret=True))
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 1e-5, err
+
+
+def test_pdhg_fused_rejects_unsupported(rng):
+    from rls_tpu.kernels import check_pdhg_fused
+    from rls_tpu._pytree import replace as _replace
+
+    n = 16
+    op, B = _pdhg_problem(rng, n=n, P=1)
+    ok = rt.PDHG.create(
+        op, reg=rt.TVRegularization(1e-3, shape=(n, n)), iterations=4
+    )
+    check_pdhg_fused(ok)
+
+    s_dense = rt.PDHG.create(
+        rt.DenseOperator(jnp.asarray(rng.normal(size=(n, n)), jnp.float32)),
+        reg=rt.L1Regularization(1e-3), iterations=4,
+    )
+    with pytest.raises(ValueError, match="SeparableConvOperator"):
+        check_pdhg_fused(s_dense)
+
+    s_iso = _replace(ok, tv_scheme="isotropic")
+    with pytest.raises(ValueError, match="8-direction"):
+        check_pdhg_fused(s_iso)
+
+    fista = rt.FISTA.create(
+        op, reg=rt.L1Regularization(1e-3), iterations=4
+    )
+    with pytest.raises(ValueError, match="PDHG solver"):
+        check_pdhg_fused(fista)
+
+
+def test_solve_batched_fast_dispatches_pdhg(rng):
+    import warnings as _warnings
+
+    from rls_tpu.kernels import solve_batched_fast, solve_pdhg_fused
+
+    n = 16
+    op, B = _pdhg_problem(rng, n=n, P=2)
+    s = rt.PDHG.create(
+        op, reg=rt.TVRegularization(1e-3, shape=(n, n)), iterations=6
+    )
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        got = solve_batched_fast(s, B, interpret=True)
+    ref = solve_pdhg_fused(s, B, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)

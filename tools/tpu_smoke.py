@@ -155,6 +155,25 @@ def main():
     # compensated — require it to SOLVE accurately, not merely agree
     assert sol_err < 1e-3, "fused CGNR must reach the f32 solution on chip"
 
+    # fused whole-solve PDHG (8-direction TV conjugate prox, VPU stencil
+    # conv) vs the composed primal-dual path
+    from rls_tpu.kernels import solve_pdhg_fused
+
+    g5 = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    g5 /= g5.sum()
+    sep24 = rt.SeparableConvOperator.from_taps(g5, g5, im_shape=(24, 24))
+    s_pd = rt.PDHG.create(
+        sep24, reg=rt.TVRegularization(5e-3, shape=(24, 24)), iterations=12
+    )
+    Xpd = jnp.asarray(rng.normal(size=(2, 24 * 24)), jnp.float32)
+    Bpd = jax.vmap(sep24.mv)(Xpd).T
+    got = np.asarray(jax.jit(lambda B: solve_pdhg_fused(s_pd, B))(Bpd))
+    want = np.asarray(jax.jit(lambda B: solve_batched_unrolled(s_pd, B))(Bpd))
+    dev_err = float(np.abs(got - want).max() / (np.abs(want).max() + 1e-30))
+    results["pdhg_fused"] = (np.isfinite(got).all(), dev_err)
+    print(f"pdhg_fused: vs_composed={dev_err:.2e}", file=sys.stderr)
+    assert dev_err < 1e-3, "fused PDHG must match the composed path on chip"
+
     # SVD proxes on-chip: Jacobi SVT vs CPU f64 (nuclear + LLR)
     from rls_tpu.ops.jacobi_svd import svt_jacobi
 
