@@ -6,6 +6,7 @@ from .mesh import (
     solve_batched_sharded,
     solve_admm_tv_fused_sharded,
     solve_cgnr_fused_sharded,
+    solve_pdhg_fused_sharded,
     solve_fista_tv_fused_sharded,
     solve_fused_sharded,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "solve_fista_tv_fused_sharded",
     "solve_admm_tv_fused_sharded",
     "solve_cgnr_fused_sharded",
+    "solve_pdhg_fused_sharded",
     "solve_fused_sharded",
     "initialize_multihost",
     "is_multihost",

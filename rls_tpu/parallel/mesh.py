@@ -145,3 +145,12 @@ def solve_cgnr_fused_sharded(
     from ..kernels import solve_cgnr_fused
 
     return solve_fused_sharded(solve_cgnr_fused, solver, B, mesh, axis, interpret)
+
+
+def solve_pdhg_fused_sharded(
+    solver, B, mesh: Mesh, axis: str = "batch", interpret=None
+):
+    """Sharded fused whole-solve PDHG (see solve_fused_sharded)."""
+    from ..kernels import solve_pdhg_fused
+
+    return solve_fused_sharded(solve_pdhg_fused, solver, B, mesh, axis, interpret)

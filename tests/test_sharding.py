@@ -168,3 +168,26 @@ def test_fused_cgnr_sharded(rng):
     got = np.asarray(solve_cgnr_fused_sharded(solver, B, mesh, interpret=True))
     want = np.asarray(solve_cgnr_fused(solver, B, interpret=True))
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_fused_pdhg_sharded(rng):
+    """Sharded fused PDHG must match the unsharded kernel."""
+    import jax
+
+    from rls_tpu.kernels import solve_pdhg_fused
+    from rls_tpu.parallel import make_mesh, solve_pdhg_fused_sharded
+
+    n, ndev = 16, len(jax.devices())
+    batch = 2 * ndev
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    g /= g.sum()
+    op = rt.SeparableConvOperator.from_taps(g, g, im_shape=(n, n))
+    solver = rt.PDHG.create(
+        op, reg=rt.TVRegularization(1e-3, shape=(n, n)), iterations=5
+    )
+    X = jnp.asarray(rng.normal(size=(batch, n * n)), jnp.float32)
+    B = jax.vmap(op.mv)(X).T
+    mesh = make_mesh(axis_names=("batch",))
+    got = np.asarray(solve_pdhg_fused_sharded(solver, B, mesh, interpret=True))
+    want = np.asarray(solve_pdhg_fused(solver, B, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)

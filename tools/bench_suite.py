@@ -191,6 +191,25 @@ def main():
          np.linalg.norm(rec4 - xs4) / np.linalg.norm(xs4),
          timeit(f4, B4), SLICES, "slices/s")
 
+    # ---- 3b. PDHG + 8-direction TV on the same deblurring problem --------
+    # (the reference's PrimalDualSolver scheme; fused whole-solve kernel)
+    from rls_tpu.kernels import solve_pdhg_fused
+
+    g3b = np.exp(-((np.arange(9) - 4) ** 2) / 8.0)
+    g3b /= g3b.sum()
+    op3b = rt.SeparableConvOperator.from_taps(g3b, g3b, im_shape=(N, N))
+    s3b = rt.PDHG.create(
+        op3b,
+        reg=rt.TVRegularization(2e-3, shape=(N, N)),
+        iterations=30,
+    )
+    f3b = jax.jit(lambda B_: solve_pdhg_fused(s3b, B_))
+    x3b = np.asarray(f3b(B3))
+    emit("pdhg_tv8_deblur256_b16_fused",
+         np.linalg.norm(x3b[:, 0] - np.asarray(xt3))
+         / np.linalg.norm(np.asarray(xt3)), timeit(f3b, B3), 16,
+         "problems/s")
+
     # ---- 5. randomized Kaczmarz + positivity, tall system ----------------
     mk, nk = 1024, 256
     Ak = rng.normal(size=(mk, nk)).astype(np.float32)
