@@ -61,7 +61,9 @@ from .models.solvers import (
 )
 from .kernels import (
     solve_batched_fast,
+    solve_cgnr_fused,
     solve_kaczmarz_streamed,
+    solve_pdhg_fused,
     solve_splitbregman_l1_tv_fused,
 )
 from .ops.jacobi_svd import jacobi_svd, jacobi_svdvals, svt_jacobi
