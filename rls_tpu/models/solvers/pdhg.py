@@ -9,10 +9,12 @@ API surface). Solves ½‖Ax − u‖² + λ R(Φx) with
   * primal update     x ← x − τ(Aᴴy₁ + Φᴴy₂), then constraints
 
 Conjugate proxes: L1 → elementwise clip to [−λ, λ] (reference ProxL1Conj);
-TV → anisotropic per-element dual-ball projection p·min(1, λ/‖p‖) over the directional
-gradient stack. (The reference's experimental 8-direction weighted
-ProxTVConj is replaced by this standard isotropic projection; the reference
-solver is disabled upstream.)
+TV → the reference's weighted 8-direction ProxTVConj, ported exactly
+(`prox_tv_conj_8dir`, default `tv_scheme="8dir"` with the `Grad8Operator`
+transform), with a cheaper standard anisotropic dual-ball projection over
+the 2-plane directional gradient as the `tv_scheme="isotropic"` fallback
+(auto-selected for non-2-D shapes and complex dtypes, which the
+reference's real-only 2-D scheme cannot represent).
 
 Convergence metric: primal-dual gap estimate as in the reference.
 """
