@@ -8,7 +8,8 @@ budget — the ADMM sibling of kernels/fista_tv_fused.py.
 
 Semantics mirror admm.py step() exactly for the supported configuration
 (single TV term, identity reg_trafo, vary_rho="none", no preconditioner,
-no projections, fixed iterations; reference ADMM.jl:230-309):
+Positive/Real projections in-kernel after the x-update, fixed
+iterations; reference ADMM.jl:230-309):
 
     β   = Aᴴb + ρ(z − u)
     x   = CG(AᴴA + ρI, β, x₀=x, maxiter=cg_iters, ‖r‖ ≤ tol_inner·‖β‖)
@@ -52,6 +53,7 @@ def _kernel(
     tv_iterations: int,
     tol_inner: float,
     taps: tuple | None = None,
+    prox: str = "none",
 ):
     x0hat = x0_ref[0]
     b = pl.program_id(0)
@@ -118,6 +120,10 @@ def _kernel(
         x, z, u = carry
         beta = x0hat + rho * (z - u)
         x = cg(beta, x)
+        if prox == "positive":
+            # projection terms apply right after the x-update (admm.py
+            # step; reference ADMM.jl:246-249); Real is the identity here
+            x = jnp.maximum(x, 0.0)
         zi = fgp(x + u, lam_z)
         z = jnp.where(rho != 0, zi, x + u)
         u = u + x - z
@@ -143,6 +149,7 @@ def admm_tv_fused(
     tol_inner: float,
     interpret: bool = False,
     taps: tuple | None = None,
+    prox: str = "none",
 ):
     B, H, W = x0hat_b.shape
     scal = jnp.stack(
@@ -161,6 +168,7 @@ def admm_tv_fused(
             tv_iterations=tv_iterations,
             tol_inner=tol_inner,
             taps=taps,
+            prox=prox,
         ),
         grid=(B,),
         in_specs=[
@@ -213,8 +221,14 @@ def check_admm_tv_fused(solver):
     dims = (reg.dims,) if isinstance(reg.dims, int) else tuple(reg.dims)
     if reg.shape != (H, W) or tuple(sorted(dims)) != (0, 1):
         raise ValueError("fused path requires 2-D TV over both axes")
-    if solver.proj:
-        raise ValueError("fused path does not support projection terms")
+    from ..models.prox import PositiveRegularization, RealRegularization
+
+    for p in solver.proj:
+        if not isinstance(p, (PositiveRegularization, RealRegularization)):
+            raise ValueError(
+                "fused path supports only Positive/Real projection terms, "
+                f"got {type(p).__name__}"
+            )
     if solver.vary_rho != "none":
         raise ValueError("fused path does not support vary_rho")
     if solver.precon is not None:
@@ -273,6 +287,13 @@ def solve_admm_tv_fused(solver, B_mat, interpret: bool | None = None):
         lcat, rcat = op.cat["normal"]
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    from ..models.prox import PositiveRegularization
+
+    prox = (
+        "positive"
+        if any(isinstance(p, PositiveRegularization) for p in solver.proj)
+        else "none"
+    )
     out = admm_tv_fused(
         x0hat_b,
         lcat,
@@ -285,5 +306,6 @@ def solve_admm_tv_fused(solver, B_mat, interpret: bool | None = None):
         float(tol_inner),
         interpret=interpret,
         taps=taps,
+        prox=prox,
     )
     return out.reshape(out.shape[0], H * W).T

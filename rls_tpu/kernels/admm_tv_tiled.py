@@ -67,6 +67,7 @@ def _kernel(
     cg_iterations: int,
     tv_iterations: int,
     tol_inner: float,
+    prox: str = "none",
 ):
     b = pl.program_id(0)
     rho = scal_ref[b, 0]
@@ -130,6 +131,10 @@ def _kernel(
             return rz_new
 
         lax.fori_loop(0, cg_iterations, cg_body, r0z)
+        if prox == "positive":
+            # projection terms apply right after the x-update (admm.py
+            # step; reference ADMM.jl:246-249); Real is the identity here
+            x_s[...] = jnp.maximum(x_s[...], 0.0)
 
         # --- z-update: row-tiled TV-FGP prox of x + u ---------------------
         for t in range(T):
@@ -183,6 +188,7 @@ def admm_tv_tiled(
     tol_inner: float,
     tile_rows: int | None = None,
     interpret: bool = False,
+    prox: str = "none",
 ):
     B, H, W = x0hat_b.shape
     halo = -(-(tv_iterations + 2) // 8) * 8
@@ -212,6 +218,7 @@ def admm_tv_tiled(
             cg_iterations=cg_iterations,
             tv_iterations=tv_iterations,
             tol_inner=tol_inner,
+            prox=prox,
         ),
         grid=(B,),
         in_specs=[
@@ -262,8 +269,14 @@ def check_admm_tv_tiled(solver):
     dims = (reg.dims,) if isinstance(reg.dims, int) else tuple(reg.dims)
     if reg.shape != (H, W) or tuple(sorted(dims)) != (0, 1):
         raise ValueError("tiled path requires 2-D TV over both axes")
-    if solver.proj:
-        raise ValueError("tiled path does not support projection terms")
+    from ..models.prox import PositiveRegularization, RealRegularization
+
+    for p in solver.proj:
+        if not isinstance(p, (PositiveRegularization, RealRegularization)):
+            raise ValueError(
+                "tiled path supports only Positive/Real projection terms, "
+                f"got {type(p).__name__}"
+            )
     if solver.vary_rho != "none":
         raise ValueError("tiled path does not support vary_rho")
     if solver.precon is not None:
@@ -295,6 +308,8 @@ def solve_admm_tv_tiled(
     solver is ADMM + SeparableConvOperator + one identity-trafo 2-D TV
     term at image sizes beyond the monolithic fused kernel's VMEM ceiling
     (512²). Returns the n×K solution matrix like the composed driver."""
+    from ..models.prox import PositiveRegularization
+
     from ..models.regularization import normalization_factor
 
     taps = check_admm_tv_tiled(solver)
@@ -320,6 +335,13 @@ def solve_admm_tv_tiled(
         solver.iterations_cg,
         reg.iterations_tv,
         float(solver.tol_inner),
+        prox=(
+            "positive"
+            if any(
+                isinstance(p, PositiveRegularization) for p in solver.proj
+            )
+            else "none"
+        ),
         tile_rows=tile_rows,
         interpret=interpret,
     )

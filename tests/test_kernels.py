@@ -1393,3 +1393,34 @@ def test_solve_batched_fast_dispatches_pdhg(rng):
         got = solve_batched_fast(s, B, interpret=True)
     ref = solve_pdhg_fused(s, B, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
+
+
+def test_admm_tv_fused_positivity_matches_composed(rng):
+    """Positive projection terms now run in-kernel (after the x-update,
+    reference ADMM.jl:246-249) in both the monolithic and tiled ADMM
+    kernels."""
+    from rls_tpu.kernels import solve_admm_tv_fused, solve_admm_tv_tiled
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    n = 24
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    X = jnp.abs(jnp.asarray(rng.normal(size=(3, n * n)), jnp.float32))
+    B = jax.vmap(op.mv)(X).T
+    s = rt.ADMM.create(
+        op,
+        reg=[
+            rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=3,
+                                unroll=True),
+            rt.PositiveRegularization(),
+        ],
+        iterations=4, iterations_cg=3, unroll_cg=True, rho=0.1,
+    )
+    assert len(s.proj) == 1
+    want = np.asarray(solve_batched_unrolled(s, B))
+    got = np.asarray(solve_admm_tv_fused(s, B, interpret=True))
+    assert np.abs(got - want).max() / np.abs(want).max() < 2e-4
+    got_t = np.asarray(solve_admm_tv_tiled(s, B, interpret=True))
+    assert np.abs(got_t - want).max() / np.abs(want).max() < 2e-4
