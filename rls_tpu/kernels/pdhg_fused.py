@@ -119,6 +119,27 @@ def _kernel(
     if kind == "tv8":
         grad, div = _grad8_ops(H, W, f32)
         nplanes = 8
+    elif kind == "tviso":
+        # the 2-plane directional gradient (GradientOperator, dims (0,1));
+        # masked forward diffs + the shared negative-divergence adjoint
+        row = lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        col = lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        not_last_row = (row < H - 1).astype(f32)
+        not_last_col = (col < W - 1).astype(f32)
+
+        def grad(x):
+            return (
+                (pltpu.roll(x, H - 1, 0) - x) * not_last_row,
+                (pltpu.roll(x, W - 1, 1) - x) * not_last_col,
+            )
+
+        def div(planes):
+            pv, ph = planes
+            return (
+                pltpu.roll(pv, 1, 0) - pv + pltpu.roll(ph, 1, 1) - ph
+            )
+
+        nplanes = 2
     else:
         grad = lambda x: (x,)
         div = lambda planes: planes[0]
@@ -138,9 +159,15 @@ def _kernel(
                     _W8[k] * jnp.sign(planes[k]) * jnp.minimum(gnorm, lam)
                 )
             return tuple(planes)
-        p = planes[0]
-        mag = jnp.abs(p)
-        return (jnp.where(mag > lam, p / jnp.maximum(mag, 1e-30) * lam, p),)
+
+        # elementwise λ-ball clip (ProxL1Conj; also the isotropic TV
+        # scheme's anisotropic per-element clamp) — maps 0 → 0, so the
+        # tviso planes' masked last row/col stay exactly zero
+        def clip(p):
+            mag = jnp.abs(p)
+            return jnp.where(mag > lam, p / jnp.maximum(mag, 1e-30) * lam, p)
+
+        return tuple(clip(p) for p in planes)
 
     def body(_, carry):
         x, y1, y2 = carry
@@ -196,7 +223,7 @@ def pdhg_fused(
 
 
 def _check_vmem_pdhg(H, W, kind):
-    planes = 13 if kind == "tv8" else 6  # x, y1, u + duals + live temps
+    planes = {"tv8": 13, "tviso": 8, "l1": 6}[kind]  # x/y1/u + duals + temps
     vmem_bytes = planes * H * W * 4
     if vmem_bytes > 16 * 1024 * 1024:
         raise ValueError(
@@ -222,14 +249,9 @@ def check_pdhg_fused(solver):
     if jnp.issubdtype(op.dtype, jnp.complexfloating):
         raise ValueError("fused PDHG path covers real systems only")
     if solver.reg_kind == "tv":
-        if solver.tv_scheme != "8dir":
-            raise ValueError(
-                "fused PDHG path implements the reference 8-direction TV "
-                "scheme; isotropic: use the composed path"
-            )
         if tuple(solver.shape) != tuple(op.im_shape):
             raise ValueError("TV shape must equal the operator image shape")
-        kind = "tv8"
+        kind = "tv8" if solver.tv_scheme == "8dir" else "tviso"
     elif solver.reg_kind == "l1":
         kind = "l1"
     else:

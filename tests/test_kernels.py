@@ -1333,6 +1333,30 @@ def test_pdhg_fused_tv8_matches_composed(rng):
         assert err < 1e-5, (kwargs, err)
 
 
+def test_pdhg_fused_isotropic_matches_composed(rng):
+    """The isotropic scheme (2-plane directional gradient + elementwise
+    dual clamp) rides the kernel too."""
+    from rls_tpu._pytree import replace as _replace
+    from rls_tpu.kernels import solve_pdhg_fused
+    from rls_tpu.models.solvers import solve_batched_unrolled
+    from rls_tpu.ops.grad import GradientOperator
+
+    n = 20
+    op, B = _pdhg_problem(rng, n=n, P=2)
+    s8 = rt.PDHG.create(
+        op, reg=rt.TVRegularization(5e-3, shape=(n, n)), iterations=10,
+        enforce_positive=True, enforce_real=True,
+    )
+    s = _replace(
+        s8, tv_scheme="isotropic",
+        trafo=GradientOperator(im_shape=(n, n), _dtype=jnp.float32),
+    )
+    want = np.asarray(solve_batched_unrolled(s, B))
+    got = np.asarray(solve_pdhg_fused(s, B, interpret=True))
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 1e-5, err
+
+
 def test_pdhg_fused_l1_matches_composed(rng):
     from rls_tpu.kernels import solve_pdhg_fused
     from rls_tpu.models.solvers import solve_batched_unrolled
@@ -1366,10 +1390,6 @@ def test_pdhg_fused_rejects_unsupported(rng):
     )
     with pytest.raises(ValueError, match="SeparableConvOperator"):
         check_pdhg_fused(s_dense)
-
-    s_iso = _replace(ok, tv_scheme="isotropic")
-    with pytest.raises(ValueError, match="8-direction"):
-        check_pdhg_fused(s_iso)
 
     fista = rt.FISTA.create(
         op, reg=rt.L1Regularization(1e-3), iterations=4
