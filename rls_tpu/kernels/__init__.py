@@ -16,6 +16,7 @@ from .kaczmarz_pallas import (
     solve_kaczmarz_streamed,
 )
 from .pdhg_fused import check_pdhg_fused, pdhg_fused, solve_pdhg_fused
+from .pgm_dense_fused import check_pgm_dense_fused, solve_pgm_dense_fused
 from .splitbregman_fused import (
     splitbregman_l1_tv_sense_fused,
     solve_splitbregman_l1_tv_fused,
@@ -32,6 +33,8 @@ __all__ = [
     "check_cgnr_fused",
     "solve_cgnr_fused",
     "check_pdhg_fused",
+    "check_pgm_dense_fused",
+    "solve_pgm_dense_fused",
     "pdhg_fused",
     "solve_pdhg_fused",
     "admm_tv_fused",

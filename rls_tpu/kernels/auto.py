@@ -27,6 +27,7 @@ from .fista_l1_dft_fused import (
 )
 from .kaczmarz_greedy import check_kaczmarz_greedy, solve_kaczmarz_greedy
 from .pdhg_fused import check_pdhg_fused, solve_pdhg_fused
+from .pgm_dense_fused import check_pgm_dense_fused, solve_pgm_dense_fused
 from .kaczmarz_pallas import check_kaczmarz_streamed, solve_kaczmarz_streamed
 from .sense_fused import check_fista_l21_sense_fused, solve_fista_l21_sense_fused
 from .fista_tv_fused import check_pgm_tv_fused, solve_pgm_tv_fused
@@ -41,6 +42,7 @@ __all__ = ["solve_batched_fast"]
 _FUSED_WRAPPERS = (
     ("cgnr_dense", check_cgnr_fused, solve_cgnr_fused),
     ("pgm_tv", check_pgm_tv_fused, solve_pgm_tv_fused),
+    ("pgm_dense", check_pgm_dense_fused, solve_pgm_dense_fused),
     # beyond the monolithic kernel's VMEM ceiling: row-tiled streaming
     ("fista_tv_tiled", check_fista_tv_tiled, solve_fista_tv_tiled),
     ("admm_tv", check_admm_tv_fused, solve_admm_tv_fused),

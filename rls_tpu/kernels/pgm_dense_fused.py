@@ -1,0 +1,239 @@
+"""Fused whole-solve FISTA kernel for dense systems.
+
+The reference's canonical solver tests run FISTA/OptISTA/POGM on small
+dense random systems (/root/reference/test/testSolvers.jl:15-60); on the
+composed path every iteration is a handful of tiny dispatch-bound XLA
+ops. This kernel runs the ENTIRE K-iteration accelerated proximal
+gradient loop in ONE Pallas call, the dense sibling of
+`fista_tv_fused` and the PGM sibling of `cgnr_fused`:
+
+* problems ride the SUBLANE axis, features the LANE axis; the normal-op
+  matvec is two FULLY-compensated (4-term hi/lo) MXU matmuls on
+  VMEM-resident pre-split factors (Krylov-grade accuracy — see
+  `cgnr_fused._mm_comp`);
+* the θ momentum recurrence runs per problem in f32 — EXACTLY the
+  composed `FISTA.step` scalar path (fista.py:135-171; reference
+  FISTA.jl:144-176), so gradient restart (θ ← 1 on an obtuse
+  res·(x−x_prev) angle) is one lane reduction per iteration;
+* the prox (complex-safe L1 soft threshold / L2 shrinkage, reference
+  ProxL1.jl:18-22 / ProxL2.jl) and the Positive/Real projections run
+  in-kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops._precise import split_bf16
+from .cgnr_fused import _mm_comp
+
+__all__ = ["check_pgm_dense_fused", "solve_pgm_dense_fused"]
+
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def _kernel(
+    scal_ref,  # VMEM (P, 3): per-problem [lam_eff, rho, theta0]
+    b_ref,  # VMEM (P, m)
+    mf2_ref,  # VMEM (n, 2m) [Aᵀ_hi | Aᵀ_lo]
+    ma2_ref,  # VMEM (m, 2n) [A_hi | A_lo]
+    x_out,  # VMEM (P, n)
+    *,
+    steps: int,
+    m: int,
+    n: int,
+    reg_kind: str,  # "l1" | "l2"
+    restart: bool,
+    prox: str,  # "none" | "positive"
+):
+    lam = scal_ref[:, 0:1]
+    rho = scal_ref[:, 1:2]
+    th0 = scal_ref[:, 2:3]
+    mf2 = mf2_ref[...]
+    ma2 = ma2_ref[...]
+
+    x0hat = _mm_comp(b_ref[...], ma2, n)  # Aᴴ b
+    x_init = x0hat * 0.0
+    eps = jnp.asarray(jnp.finfo(jnp.float32).eps, jnp.float32)
+
+    def body(_, carry):
+        x, x_old, theta, theta_old = carry
+        # momentum (FISTA.jl:144-148)
+        alpha = (theta_old - 1.0) / theta
+        xm = x + alpha * (x - x_old)
+        x_prev = x
+        # normal-op residual + gradient step (FISTA.jl:152-154)
+        res = _mm_comp(_mm_comp(xm, mf2, m), ma2, n) - x0hat
+        xg = xm - rho * res
+        # prox (FISTA.jl:164-168)
+        rl = rho * lam
+        if reg_kind == "l1":
+            mag = jnp.abs(xg)
+            x = jnp.maximum(mag - rl, 0.0) * (xg + eps) / (mag + eps)
+        else:  # l2 shrinkage
+            x = xg / (1.0 + 2.0 * rl)
+        if prox == "positive":
+            x = jnp.maximum(x, 0.0)
+        # gradient restart (FISTA.jl:171-176)
+        if restart:
+            obtuse = jnp.sum(res * (x - x_prev), axis=1, keepdims=True) > 0
+            theta = jnp.where(obtuse, 1.0, theta)
+        theta_old_new = theta
+        theta_new = (1.0 + jnp.sqrt(1.0 + 4.0 * theta_old_new**2)) / 2.0
+        return (x, x_prev, theta_new, theta_old_new)
+
+    x, _, _, _ = lax.fori_loop(
+        0, steps, body, (x_init, x_init, th0, th0)
+    )
+    x_out[...] = x
+
+
+def check_pgm_dense_fused(solver):
+    """Validate `solver` for the fused dense FISTA kernel (raises
+    ValueError naming the unsupported piece)."""
+    from ..models.prox import (
+        L1Regularization,
+        L2Regularization,
+        PositiveRegularization,
+        RealRegularization,
+    )
+    from ..models.solvers.fista import FISTA
+    from ..ops.base import DenseOperator, NormalOperator
+
+    if not isinstance(solver, FISTA):
+        raise ValueError(
+            "fused dense PGM path covers FISTA (OptISTA/POGM: composed path)"
+        )
+    if solver.A is None or not isinstance(solver.A, DenseOperator):
+        raise ValueError("fused dense PGM path requires a dense operator A")
+    if jnp.issubdtype(solver.A.mat.dtype, jnp.complexfloating):
+        raise ValueError("fused dense PGM path covers real systems only")
+    if not (
+        isinstance(solver.AHA, NormalOperator)
+        and solver.AHA.A is solver.A
+        and solver.AHA.weights is None
+    ):
+        raise ValueError(
+            "fused dense PGM path requires the default AHA = AᴴA normal "
+            "operator"
+        )
+    if type(solver.reg) is L1Regularization:
+        kind = "l1"
+    elif type(solver.reg) is L2Regularization:
+        kind = "l2"
+    else:
+        raise ValueError(
+            "fused dense PGM path supports plain L1/L2 regularization, got "
+            f"{type(solver.reg).__name__}"
+        )
+    if jnp.ndim(solver.reg.get_lam()) != 0:
+        raise ValueError("fused dense PGM path requires a scalar λ")
+    if solver.restart not in ("none", "gradient"):
+        raise ValueError(f"unsupported restart {solver.restart}")
+    for p in solver.proj:
+        if not isinstance(p, (PositiveRegularization, RealRegularization)):
+            raise ValueError(
+                "fused dense PGM path supports only Positive/Real "
+                f"projections, got {type(p).__name__}"
+            )
+    m, n = solver.A.mat.shape
+    if 4 * m * n * 4 + 2 * 1024 * 1024 > _VMEM_BUDGET_BYTES:
+        raise ValueError(
+            f"fused dense PGM factors for a {m}x{n} matrix exceed VMEM; "
+            "use the composed path"
+        )
+    prox = (
+        "positive"
+        if any(isinstance(p, PositiveRegularization) for p in solver.proj)
+        else "none"
+    )
+    return kind, prox
+
+
+def solve_pgm_dense_fused(
+    solver, B_mat, interpret: bool | None = None, batch_chunk: int | None = None
+):
+    """Drop-in fast path for ``solve_batched_unrolled(solver, B)`` on a
+    real dense FISTA solver (columns of ``B_mat`` are problems; returns
+    n × K)."""
+    from ..models.regularization import normalization_factor
+
+    kind, prox = check_pgm_dense_fused(solver)
+    mat = jnp.asarray(solver.A.mat, jnp.float32)
+    m, n = mat.shape
+    B_mat = jnp.asarray(B_mat, jnp.float32)
+    if B_mat.shape[0] != m:
+        raise ValueError(f"B has {B_mat.shape[0]} rows, operator expects {m}")
+    bt = B_mat.T  # (P, m)
+    P = bt.shape[0]
+
+    scale = jax.vmap(
+        lambda col: normalization_factor(solver.normalize_reg, solver.A, col)
+    )(bt)
+    lam_eff = jnp.real(jnp.asarray(solver.reg.get_lam(), jnp.float32)) * (
+        jnp.asarray(scale, jnp.float32)
+    )
+    scal = jnp.stack(
+        [
+            jnp.broadcast_to(lam_eff.reshape(-1), (P,)),
+            jnp.broadcast_to(
+                jnp.asarray(solver.rho, jnp.float32).reshape(-1), (P,)
+            ),
+            jnp.broadcast_to(
+                jnp.asarray(solver.theta, jnp.float32).reshape(-1), (P,)
+            ),
+        ],
+        axis=1,
+    )
+
+    at_hi, at_lo = split_bf16(mat.T)
+    a_hi, a_lo = split_bf16(mat)
+    mf2 = jnp.concatenate([at_hi, at_lo], axis=1)
+    ma2 = jnp.concatenate([a_hi, a_lo], axis=1)
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    per_problem = (5 * n + m) * 4  # x/x_old/xm/res live planes + b
+    p_max = (
+        batch_chunk
+        if batch_chunk is not None
+        else max(
+            1, (_VMEM_BUDGET_BYTES - 4 * m * n * 4) // max(per_problem, 1)
+        )
+    )
+
+    def run(scal_c, bt_c):
+        return pl.pallas_call(
+            functools.partial(
+                _kernel,
+                steps=solver.total_steps,
+                m=m,
+                n=n,
+                reg_kind=kind,
+                restart=solver.restart == "gradient",
+                prox=prox,
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bt_c.shape[0], n), jnp.float32),
+            interpret=interpret,
+        )(scal_c, bt_c, mf2, ma2)
+
+    if P > p_max:
+        x = jnp.concatenate(
+            [
+                run(scal[i : i + p_max], bt[i : i + p_max])
+                for i in range(0, P, p_max)
+            ],
+            axis=0,
+        )
+    else:
+        x = run(scal, bt)
+    return x.T

@@ -1444,3 +1444,98 @@ def test_admm_tv_fused_positivity_matches_composed(rng):
     assert np.abs(got - want).max() / np.abs(want).max() < 2e-4
     got_t = np.asarray(solve_admm_tv_tiled(s, B, interpret=True))
     assert np.abs(got_t - want).max() / np.abs(want).max() < 2e-4
+
+
+# --------------------------------------------------------------------------
+# fused dense FISTA
+# --------------------------------------------------------------------------
+
+
+def test_pgm_dense_fused_matches_unrolled(rng):
+    from rls_tpu.kernels import solve_pgm_dense_fused
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    m, n, P = 48, 96, 4  # underdetermined CS-style system
+    A = jnp.asarray(rng.normal(size=(m, n)) / np.sqrt(m), jnp.float32)
+    X = jnp.asarray(
+        rng.normal(size=(n, P)) * (rng.uniform(size=(n, P)) < 0.2),
+        jnp.float32,
+    )
+    B = A @ X
+    for reg, kwargs in (
+        (rt.L1Regularization(1e-3), dict()),
+        (rt.L1Regularization(1e-3), dict(restart="gradient")),
+        (rt.L2Regularization(1e-3), dict()),
+        ([rt.L1Regularization(1e-3), rt.PositiveRegularization()], dict()),
+        (rt.L1Regularization(1e-3),
+         dict(normalize_reg=rt.MeasurementBasedNormalization())),
+    ):
+        s = rt.FISTA.create(
+            rt.DenseOperator(A), reg=reg, iterations=40, rho=0.4,
+            track_residual=False, **kwargs,
+        )
+        want = np.asarray(solve_batched_unrolled(s, B))
+        got = np.asarray(solve_pgm_dense_fused(s, B, interpret=True))
+        err = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-30)
+        assert err < 1e-4, (reg, kwargs, err)
+        if kwargs.get("restart") is None and not isinstance(reg, list):
+            chunked = np.asarray(
+                solve_pgm_dense_fused(s, B, interpret=True, batch_chunk=3)
+            )
+            np.testing.assert_allclose(chunked, got, rtol=0, atol=0)
+
+
+def test_pgm_dense_fused_restart_fires(rng):
+    """On a problem where the restart provably changes the trajectory,
+    the fused restart path must still match the composed one."""
+    from rls_tpu.kernels import solve_pgm_dense_fused
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    m, n = 40, 24
+    A = jnp.asarray(
+        rng.normal(size=(m, n)) / np.sqrt(m) + np.eye(m, n), jnp.float32
+    )
+    B = jnp.asarray(rng.normal(size=(m, 2)), jnp.float32)
+    L = float(np.linalg.norm(np.asarray(A), 2) ** 2)
+    mk = lambda r: rt.FISTA.create(
+        rt.DenseOperator(A), reg=rt.L1Regularization(1e-3), iterations=60,
+        rho=0.95 / L, restart=r, track_residual=False,
+    )
+    plain = np.asarray(solve_batched_unrolled(mk("none"), B))
+    restarted = np.asarray(solve_batched_unrolled(mk("gradient"), B))
+    assert np.linalg.norm(plain - restarted) > 1e-6  # restart fired
+    got = np.asarray(solve_pgm_dense_fused(mk("gradient"), B, interpret=True))
+    err = np.linalg.norm(got - restarted) / np.linalg.norm(restarted)
+    assert err < 1e-4, err
+
+
+def test_pgm_dense_fused_rejections(rng):
+    from rls_tpu.kernels import check_pgm_dense_fused
+
+    m, n = 16, 12
+    A = jnp.asarray(rng.normal(size=(m, n)), jnp.float32)
+    ok = rt.FISTA.create(
+        rt.DenseOperator(A), reg=rt.L1Regularization(1e-3), iterations=4
+    )
+    check_pgm_dense_fused(ok)
+
+    pogm = rt.POGM.create(
+        rt.DenseOperator(A), reg=rt.L1Regularization(1e-3), iterations=4
+    )
+    with pytest.raises(ValueError, match="FISTA"):
+        check_pgm_dense_fused(pogm)
+
+    s_tv = rt.FISTA.create(
+        rt.DenseOperator(A),
+        reg=rt.TVRegularization(1e-3, shape=(n,), dims=0), iterations=4,
+    )
+    with pytest.raises(ValueError, match="L1/L2"):
+        check_pgm_dense_fused(s_tv)
+
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    sep = rt.SeparableConvOperator.from_taps(g, g, im_shape=(n, n))
+    s_sep = rt.FISTA.create(
+        sep, reg=rt.L1Regularization(1e-3), iterations=4
+    )
+    with pytest.raises(ValueError, match="dense operator"):
+        check_pgm_dense_fused(s_sep)

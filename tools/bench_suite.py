@@ -191,6 +191,27 @@ def main():
          np.linalg.norm(rec4 - xs4) / np.linalg.norm(xs4),
          timeit(f4, B4), SLICES, "slices/s")
 
+    # ---- 2b. FISTA + L1 on a dense random CS system, fused dense kernel --
+    # (the reference's canonical testSolvers.jl shape, batched)
+    from rls_tpu.kernels import solve_pgm_dense_fused
+
+    m2b, n2b = 256, 512
+    A2b = (rng.normal(size=(m2b, n2b)) / np.sqrt(m2b)).astype(np.float32)
+    X2b = (rng.normal(size=(n2b, 16))
+           * (rng.uniform(size=(n2b, 16)) < 0.1)).astype(np.float32)
+    B2b = jnp.asarray(A2b @ X2b)
+    L2b = float(np.linalg.norm(A2b, 2) ** 2)
+    s2b = rt.FISTA.create(
+        rt.DenseOperator(jnp.asarray(A2b)), reg=rt.L1Regularization(2e-3),
+        iterations=100, rho=0.95 / L2b, restart="gradient",
+        track_residual=False,
+    )
+    f2b = jax.jit(lambda B_: solve_pgm_dense_fused(s2b, B_))
+    x2b = np.asarray(f2b(B2b))
+    emit("fista_l1_dense_cs_b16_fused",
+         np.linalg.norm(x2b - X2b) / np.linalg.norm(X2b),
+         timeit(f2b, B2b), 16, "problems/s")
+
     # ---- 3b. PDHG + 8-direction TV on the same deblurring problem --------
     # (the reference's PrimalDualSolver scheme; fused whole-solve kernel)
     from rls_tpu.kernels import solve_pdhg_fused

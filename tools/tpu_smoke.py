@@ -155,6 +155,29 @@ def main():
     # compensated — require it to SOLVE accurately, not merely agree
     assert sol_err < 1e-3, "fused CGNR must reach the f32 solution on chip"
 
+    # fused dense FISTA (4-term compensated normal op, in-kernel θ/restart)
+    from rls_tpu.kernels import solve_pgm_dense_fused
+
+    s_pg = rt.FISTA.create(
+        rt.DenseOperator(A), reg=rt.L1Regularization(1e-4), iterations=60,
+        rho=0.15, restart="gradient", track_residual=False,
+    )
+    got = np.asarray(jax.jit(lambda B: solve_pgm_dense_fused(s_pg, B))(Bcg))
+    want = np.asarray(
+        jax.jit(lambda B: solve_batched_unrolled(s_pg, B))(Bcg)
+    )
+    dev_err = float(np.abs(got - want).max() / (np.abs(want).max() + 1e-30))
+    sol_err = float(
+        np.linalg.norm(got[:, 0] - np.asarray(xk))
+        / np.linalg.norm(np.asarray(xk))
+    )
+    results["pgm_dense_fused"] = (np.isfinite(got).all(), sol_err)
+    print(
+        f"pgm_dense_fused: vs_composed={dev_err:.2e} sol_err={sol_err:.2e}",
+        file=sys.stderr,
+    )
+    assert sol_err < 2e-2, "fused dense FISTA must solve on chip"
+
     # fused whole-solve PDHG (8-direction TV conjugate prox, VPU stencil
     # conv) vs the composed primal-dual path
     from rls_tpu.kernels import solve_pdhg_fused
