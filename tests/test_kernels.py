@@ -309,6 +309,12 @@ def test_fista_l1_dft_fused_rejects_unsupported(rng):
         solve_fista_l1_dft_fused(s, jnp.zeros((n, 2), jnp.float32))
 
 
+def warnings_module():
+    import warnings
+
+    return warnings
+
+
 def test_solve_batched_fast_dispatch(rng):
     """Auto-dispatch picks a fused kernel when applicable and falls back to
     the composed driver otherwise, matching reference results."""
@@ -332,13 +338,29 @@ def test_solve_batched_fast_dispatch(rng):
     want = np.asarray(solve_batched_unrolled(s_fused, B))
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
 
-    # dense operator: no fused path applies -> composed fallback, identical
+    # dense FISTA-L1 now rides the fused dense PGM kernel (rounding-level
+    # differences vs the composed path)
     A = rt.DenseOperator(jnp.asarray(rng.normal(size=(24, 24)), jnp.float32))
     s_plain = rt.FISTA.create(A, reg=rt.L1Regularization(1e-3), iterations=6,
                               rho=0.05, track_residual=False)
     Bp = jnp.asarray(rng.normal(size=(24, batch)), jnp.float32)
     got = np.asarray(solve_batched_fast(s_plain, Bp))
     want = np.asarray(solve_batched_unrolled(s_plain, Bp))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # a config with NO fused path (wavelet-transformed reg): composed
+    # fallback, identical
+    s_fb = rt.FISTA.create(
+        A,
+        reg=rt.TransformedRegularization(
+            rt.L1Regularization(1e-3), rt.WaveletOperator((24,), wavelet="db2")
+        ),
+        iterations=6, rho=0.05, track_residual=False,
+    )
+    with warnings_module().catch_warnings():
+        warnings_module().simplefilter("ignore")
+        got = np.asarray(solve_batched_fast(s_fb, Bp))
+    want = np.asarray(solve_batched_unrolled(s_fb, Bp))
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
 
 
@@ -424,8 +446,14 @@ def test_solve_batched_fast_warns_on_fallback(rng):
     from rls_tpu import solve_batched_fast
 
     A = rt.DenseOperator(jnp.asarray(rng.normal(size=(12, 12)), jnp.float32))
-    s_plain = rt.FISTA.create(A, reg=rt.L1Regularization(1e-3), iterations=2,
-                              rho=0.05, track_residual=False)
+    # wavelet-transformed reg: no fused kernel covers it
+    s_plain = rt.FISTA.create(
+        A,
+        reg=rt.TransformedRegularization(
+            rt.L1Regularization(1e-3), rt.WaveletOperator((12,), wavelet="haar")
+        ),
+        iterations=2, rho=0.05, track_residual=False,
+    )
     Bp = jnp.asarray(rng.normal(size=(12, 2)), jnp.float32)
     with pytest.warns(UserWarning, match="no fused kernel applies"):
         solve_batched_fast(s_plain, Bp)
