@@ -198,13 +198,15 @@ def main():
     m2b, n2b = 256, 512
     A2b = (rng.normal(size=(m2b, n2b)) / np.sqrt(m2b)).astype(np.float32)
     X2b = (rng.normal(size=(n2b, 16))
-           * (rng.uniform(size=(n2b, 16)) < 0.1)).astype(np.float32)
+           * (rng.uniform(size=(n2b, 16)) < 0.05)).astype(np.float32)
     B2b = jnp.asarray(A2b @ X2b)
     L2b = float(np.linalg.norm(A2b, 2) ** 2)
+    # restart="none": the reference's raw-∇f gradient-restart rule fires
+    # ~80% of iterations on LASSO and stalls it (faithfully ported —
+    # measured identically in f64 numpy; see docs/tpu.md)
     s2b = rt.FISTA.create(
-        rt.DenseOperator(jnp.asarray(A2b)), reg=rt.L1Regularization(2e-3),
-        iterations=100, rho=0.95 / L2b, restart="gradient",
-        track_residual=False,
+        rt.DenseOperator(jnp.asarray(A2b)), reg=rt.L1Regularization(1e-4),
+        iterations=600, rho=0.95 / L2b, track_residual=False,
     )
     f2b = jax.jit(lambda B_: solve_pgm_dense_fused(s2b, B_))
     x2b = np.asarray(f2b(B2b))
