@@ -49,7 +49,7 @@ def _kernel(
     m: int,
     n: int,
     reg_kind: str,  # "l1" | "l2"
-    restart: bool,
+    restart: str,  # "none" | "gradient" | "gradient_mapping"
     prox: str,  # "none" | "positive"
 ):
     lam = scal_ref[:, 0:1]
@@ -80,9 +80,13 @@ def _kernel(
             x = xg / (1.0 + 2.0 * rl)
         if prox == "positive":
             x = jnp.maximum(x, 0.0)
-        # gradient restart (FISTA.jl:171-176)
-        if restart:
+        # gradient restart (FISTA.jl:171-176; fista.py step for the
+        # composite gradient-mapping variant)
+        if restart == "gradient":
             obtuse = jnp.sum(res * (x - x_prev), axis=1, keepdims=True) > 0
+            theta = jnp.where(obtuse, 1.0, theta)
+        elif restart == "gradient_mapping":
+            obtuse = jnp.sum((xm - x) * (x - x_prev), axis=1, keepdims=True) > 0
             theta = jnp.where(obtuse, 1.0, theta)
         theta_old_new = theta
         theta_new = (1.0 + jnp.sqrt(1.0 + 4.0 * theta_old_new**2)) / 2.0
@@ -134,7 +138,7 @@ def check_pgm_dense_fused(solver):
         )
     if jnp.ndim(solver.reg.get_lam()) != 0:
         raise ValueError("fused dense PGM path requires a scalar λ")
-    if solver.restart not in ("none", "gradient"):
+    if solver.restart not in ("none", "gradient", "gradient_mapping"):
         raise ValueError(f"unsupported restart {solver.restart}")
     for p in solver.proj:
         if not isinstance(p, (PositiveRegularization, RealRegularization)):
@@ -217,7 +221,7 @@ def solve_pgm_dense_fused(
                 m=m,
                 n=n,
                 reg_kind=kind,
-                restart=solver.restart == "gradient",
+                restart=solver.restart,
                 prox=prox,
             ),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,

@@ -152,10 +152,19 @@ class FISTA(LinearSolver):
         for p in self.proj:
             x = p.prox(x)
 
-        # gradient restart (FISTA.jl:171-176)
+        # gradient restart (FISTA.jl:171-176). "gradient" is the
+        # reference's raw-∇f test — bug-for-bug faithful, but on strongly
+        # nonsmooth problems (LASSO) it fires almost every iteration and
+        # degrades FISTA to ISTA-rate (docs/API_PARITY.md §5).
+        # "gradient_mapping" is the O'Donoghue–Candès composite test on
+        # the PROXIMAL gradient mapping (y − x⁺)·(x⁺ − x) > 0 — identical
+        # on smooth problems (res ∝ y − x⁺ there), correct under a prox.
         theta = state.theta
         if self.restart == "gradient":
             obtuse = jnp.real(jnp.vdot(res, x - x_prev)) > 0
+            theta = jnp.where(obtuse, jnp.ones_like(theta), theta)
+        elif self.restart == "gradient_mapping":
+            obtuse = jnp.real(jnp.vdot(x_mom - x, x - x_prev)) > 0
             theta = jnp.where(obtuse, jnp.ones_like(theta), theta)
 
         theta_old = theta

@@ -1493,6 +1493,7 @@ def test_pgm_dense_fused_matches_unrolled(rng):
     for reg, kwargs in (
         (rt.L1Regularization(1e-3), dict()),
         (rt.L1Regularization(1e-3), dict(restart="gradient")),
+        (rt.L1Regularization(1e-3), dict(restart="gradient_mapping")),
         (rt.L2Regularization(1e-3), dict()),
         ([rt.L1Regularization(1e-3), rt.PositiveRegularization()], dict()),
         (rt.L1Regularization(1e-3),

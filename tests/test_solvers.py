@@ -360,3 +360,50 @@ def test_cgnr_unrolled_past_convergence_stays_finite(rng):
     x_unrolled = np.asarray(solve_unrolled(s, b))
     assert np.isfinite(x_unrolled).all()
     np.testing.assert_allclose(x_unrolled, x_scan, rtol=1e-5, atol=1e-6)
+
+
+def test_fista_gradient_mapping_restart_beats_reference_rule(rng):
+    """restart="gradient_mapping" (composite-gradient O'Donoghue–Candès
+    test) must converge on LASSO where the reference's raw-∇f rule
+    degrades FISTA to ISTA-rate (docs/API_PARITY.md §5) — and must equal
+    the raw rule's behavior on a smooth (L2) problem, where the two
+    tests provably coincide."""
+    from rls_tpu.models.solvers import solve_unrolled
+
+    m, n = 128, 256
+    A = jnp.asarray(rng.normal(size=(m, n)) / np.sqrt(m), jnp.float32)
+    xt = jnp.asarray(
+        rng.normal(size=(n,)) * (rng.uniform(size=(n,)) < 0.05), jnp.float32
+    )
+    b = A @ xt
+    L = float(np.linalg.norm(np.asarray(A), 2) ** 2)
+
+    def err(restart):
+        s = rt.FISTA.create(
+            rt.DenseOperator(A), reg=rt.L1Regularization(1e-4),
+            iterations=500, rho=0.95 / L, restart=restart,
+            track_residual=False,
+        )
+        x = np.asarray(solve_unrolled(s, b))
+        return float(np.linalg.norm(x - np.asarray(xt))
+                     / np.linalg.norm(np.asarray(xt)))
+
+    e_ref = err("gradient")
+    e_map = err("gradient_mapping")
+    assert e_map < 0.1, e_map
+    assert e_map < 0.3 * e_ref, (e_map, e_ref)  # raw rule stalls here
+
+    # smooth problem: the tests coincide (res ∝ y − x⁺ with no prox)
+    s_g = rt.FISTA.create(
+        rt.DenseOperator(A), reg=rt.L2Regularization(1e-5),
+        iterations=60, rho=0.95 / L, restart="gradient",
+        track_residual=False,
+    )
+    s_m = rt.FISTA.create(
+        rt.DenseOperator(A), reg=rt.L2Regularization(1e-5),
+        iterations=60, rho=0.95 / L, restart="gradient_mapping",
+        track_residual=False,
+    )
+    x_g = np.asarray(solve_unrolled(s_g, b))
+    x_m = np.asarray(solve_unrolled(s_m, b))
+    np.testing.assert_allclose(x_m, x_g, rtol=0, atol=1e-5)
