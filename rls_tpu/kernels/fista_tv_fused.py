@@ -257,7 +257,14 @@ def _fista_loop_dynamic(
         x_mom = x + a * (x - m1)
         res = normal(x_mom) - x0hat
         x_new = fgp(x_mom - rho * res, rho * lam)
-        dot_acc = jnp.sum(res * (x_new - x)) if restart else None
+        if restart == "gradient_mapping":
+            # composite gradient-mapping test (fista.py step): correct
+            # under the prox where the raw-∇f dot misfires
+            dot_acc = jnp.sum((x_mom - x_new) * (x_new - x))
+        elif restart:
+            dot_acc = jnp.sum(res * (x_new - x))
+        else:
+            dot_acc = None
         res_acc = jnp.sum(res * res) if early else None
         th_new, th_old_new, done, live = _fista_dynamic_scalars(
             th_in, th_old, done, dot_acc, res_acc, norm_x0,
@@ -725,13 +732,17 @@ def check_pgm_tv_fused(solver):
     if solver.proj:
         raise ValueError("fused path does not support projection terms")
     solver_restart = getattr(solver, "restart", "none")
-    if solver_restart not in ("none", "gradient"):
+    if solver_restart not in ("none", "gradient", "gradient_mapping"):
         raise ValueError(f"fused path does not support restart={solver_restart!r}")
     if solver_restart == "gradient" and method not in ("fista", "pogm"):
         raise ValueError(
             "fused gradient restart is implemented for FISTA "
             "(reference FISTA.jl:171-176) and POGM (POGM.jl:222-232) "
             "only; use the composed path"
+        )
+    if solver_restart == "gradient_mapping" and method != "fista":
+        raise ValueError(
+            "gradient_mapping restart is a FISTA mode; use the composed path"
         )
     if method == "pogm":
         sigma_fac = getattr(solver, "sigma_fac", 1.0)
@@ -813,7 +824,8 @@ def solve_pgm_tv_fused(
     ValueError naming the unsupported piece.
     """
     method = check_pgm_tv_fused(solver)
-    restart = getattr(solver, "restart", "none") == "gradient"
+    restart = getattr(solver, "restart", "none")
+    restart = False if restart == "none" else restart
     if warm_tv and (method != "fista" or restart):
         raise ValueError("warm_tv requires FISTA with restart='none'")
     rel_tol = None

@@ -340,7 +340,12 @@ def _fista_vmem_sweep(
             x_int = x[win, :]
             new_int = x_new[win, :]
             res_int = res[win, :]
-            if restart:
+            if restart == "gradient_mapping":
+                mom_int = x_mom[win, :]
+                dot_acc = dot_acc + jnp.sum(
+                    (mom_int - new_int) * (new_int - x_int)
+                )
+            elif restart:
                 dot_acc = dot_acc + jnp.sum(res_int * (new_int - x_int))
             if rel_tol is not None:
                 res_acc = res_acc + jnp.sum(res_int * res_int)
@@ -877,9 +882,13 @@ def check_fista_tv_tiled(solver, early_exit: bool = False):
     if solver.proj:
         raise ValueError("tiled path does not support projection terms")
     solver_restart = getattr(solver, "restart", "none")
-    if solver_restart not in ("none", "gradient"):
+    if solver_restart not in ("none", "gradient", "gradient_mapping"):
         raise ValueError(
             f"tiled path does not support restart={solver_restart!r}"
+        )
+    if solver_restart == "gradient_mapping" and method != "fista":
+        raise ValueError(
+            "gradient_mapping restart is a FISTA mode; use the composed path"
         )
     if solver_restart == "gradient" and method not in ("fista", "pogm"):
         raise ValueError(
@@ -902,7 +911,7 @@ def check_fista_tv_tiled(solver, early_exit: bool = False):
     halo = -(-cone // 8) * 8
     if H % 8:
         raise ValueError(f"tiled path needs H % 8 == 0, got {H}")
-    dynamic = solver_restart == "gradient" or early_exit
+    dynamic = solver_restart in ("gradient", "gradient_mapping") or early_exit
     tr_v = pick_tile_rows_vmem(H, W, halo, method=method, dynamic=dynamic)
     tr_h = (
         pick_tile_rows(H, W, halo)
@@ -950,7 +959,8 @@ def solve_fista_tv_tiled(
     `solve_batched` done-masking semantics on the fixed grid, like the
     monolithic kernel's."""
     taps, method = check_fista_tv_tiled(solver, early_exit=early_exit)
-    restart = getattr(solver, "restart", "none") == "gradient"
+    restart = getattr(solver, "restart", "none")
+    restart = False if restart == "none" else restart
     rel_tol = None
     if early_exit:
         if method not in ("fista", "pogm"):

@@ -1568,3 +1568,25 @@ def test_pgm_dense_fused_rejections(rng):
     )
     with pytest.raises(ValueError, match="dense operator"):
         check_pgm_dense_fused(s_sep)
+
+
+def test_fused_and_tiled_gradient_mapping_match_composed(rng):
+    """restart="gradient_mapping" (the composite-gradient variant) rides
+    the monolithic AND tiled FISTA-TV kernels and must reproduce the
+    composed trajectory."""
+    from rls_tpu._pytree import replace as _replace
+    from rls_tpu.kernels import solve_pgm_tv_fused, solve_fista_tv_tiled
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    mild = np.array([0.1, 1.0, 0.1])
+    solver, B = _small_deblur(
+        rng, rho=0.95, g=mild, iterations=12, rel_tol=0.0,
+        track_residual=False, restart="gradient_mapping",
+    )
+    want = np.asarray(solve_batched_unrolled(solver, B))
+    got = np.asarray(solve_pgm_tv_fused(solver, B))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+    # tiled VMEM-carry variant (n=24 rows tile fine at this size)
+    got_t = np.asarray(solve_fista_tv_tiled(solver, B, mode="vmem"))
+    np.testing.assert_allclose(got_t, want, rtol=0, atol=1e-4)
