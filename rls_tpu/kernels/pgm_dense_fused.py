@@ -1,4 +1,5 @@
-"""Fused whole-solve FISTA kernel for dense systems.
+"""Fused whole-solve proximal-gradient (FISTA/OptISTA/POGM) kernel for
+dense systems.
 
 The reference's canonical solver tests run FISTA/OptISTA/POGM on small
 dense random systems (/root/reference/test/testSolvers.jl:15-60); on the
@@ -11,10 +12,14 @@ gradient loop in ONE Pallas call, the dense sibling of
   matvec is two FULLY-compensated (4-term hi/lo) MXU matmuls on
   VMEM-resident pre-split factors (Krylov-grade accuracy — see
   `cgnr_fused._mm_comp`);
-* the θ momentum recurrence runs per problem in f32 — EXACTLY the
+* FISTA's θ momentum recurrence runs per problem in f32 — EXACTLY the
   composed `FISTA.step` scalar path (fista.py:135-171; reference
   FISTA.jl:144-176), so gradient restart (θ ← 1 on an obtuse
-  res·(x−x_prev) angle) is one lane reduction per iteration;
+  res·(x−x_prev) angle, or the composite gradient-mapping variant) is
+  one lane reduction per iteration; OptISTA and POGM (restart="none")
+  ride the shared f64-precomputed momentum table
+  (`fista_tv_fused._momentum_table` + `_pgm_loop` — semantics
+  optista.py/pogm.py, reference OptISTA.jl:145-199 / POGM.jl:189-219);
 * the prox (complex-safe L1 soft threshold / L2 shrinkage, reference
   ProxL1.jl:18-22 / ProxL2.jl) and the Positive/Real projections run
   in-kernel.
@@ -32,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops._precise import split_bf16
 from .cgnr_fused import _mm_comp
+from .fista_tv_fused import _momentum_table, _pgm_loop
 
 __all__ = ["check_pgm_dense_fused", "solve_pgm_dense_fused"]
 
@@ -39,6 +45,7 @@ _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 
 def _kernel(
+    tab_ref,  # SMEM (steps, 4): momentum schedule (OptISTA/POGM only)
     scal_ref,  # VMEM (P, 3): per-problem [lam_eff, rho, theta0]
     b_ref,  # VMEM (P, m)
     mf2_ref,  # VMEM (n, 2m) [Aᵀ_hi | Aᵀ_lo]
@@ -48,6 +55,7 @@ def _kernel(
     steps: int,
     m: int,
     n: int,
+    method: str,  # "fista" | "optista" | "pogm"
     reg_kind: str,  # "l1" | "l2"
     restart: str,  # "none" | "gradient" | "gradient_mapping"
     prox: str,  # "none" | "positive"
@@ -61,6 +69,29 @@ def _kernel(
     x0hat = _mm_comp(b_ref[...], ma2, n)  # Aᴴ b
     x_init = x0hat * 0.0
     eps = jnp.asarray(jnp.finfo(jnp.float32).eps, jnp.float32)
+
+    if method != "fista":
+        # OptISTA/POGM ride the shared f64-table loop (fista_tv_fused
+        # _pgm_loop, semantics = optista.py/pogm.py step); the prox
+        # callable covers L1/L2 (+ POGM's post-prox projections —
+        # OptISTA applies none in-step, the check rejects them)
+        def normal(v):
+            return _mm_comp(_mm_comp(v, mf2, m), ma2, n)
+
+        def prox_fn(xg, lam_s):
+            if reg_kind == "l1":
+                mag = jnp.abs(xg)
+                x = jnp.maximum(mag - lam_s, 0.0) * (xg + eps) / (mag + eps)
+            else:
+                x = xg / (1.0 + 2.0 * lam_s)
+            if prox == "positive":
+                x = jnp.maximum(x, 0.0)
+            return x
+
+        x_out[...] = _pgm_loop(
+            normal, prox_fn, tab_ref, rho, lam, x0hat, steps, method
+        )
+        return
 
     def body(_, carry):
         x, x_old, theta, theta_old = carry
@@ -108,11 +139,19 @@ def check_pgm_dense_fused(solver):
         RealRegularization,
     )
     from ..models.solvers.fista import FISTA
+    from ..models.solvers.optista import OptISTA
+    from ..models.solvers.pogm import POGM
     from ..ops.base import DenseOperator, NormalOperator
 
-    if not isinstance(solver, FISTA):
+    if isinstance(solver, FISTA):
+        method = "fista"
+    elif isinstance(solver, OptISTA):
+        method = "optista"
+    elif isinstance(solver, POGM):
+        method = "pogm"
+    else:
         raise ValueError(
-            "fused dense PGM path covers FISTA (OptISTA/POGM: composed path)"
+            "fused dense PGM path covers FISTA/OptISTA/POGM solvers"
         )
     if solver.A is None or not isinstance(solver.A, DenseOperator):
         raise ValueError("fused dense PGM path requires a dense operator A")
@@ -138,14 +177,31 @@ def check_pgm_dense_fused(solver):
         )
     if jnp.ndim(solver.reg.get_lam()) != 0:
         raise ValueError("fused dense PGM path requires a scalar λ")
-    if solver.restart not in ("none", "gradient", "gradient_mapping"):
-        raise ValueError(f"unsupported restart {solver.restart}")
+    restart = getattr(solver, "restart", "none")
+    if method == "fista":
+        if restart not in ("none", "gradient", "gradient_mapping"):
+            raise ValueError(f"unsupported restart {restart}")
+    elif restart != "none":
+        raise ValueError(
+            "dense OptISTA/POGM ride the fixed f64 momentum table; "
+            "restart needs the composed path"
+        )
+    if isinstance(getattr(solver, "theta", 1.0), jax.core.Tracer):
+        raise ValueError(
+            "fused dense PGM path needs a concrete theta (the f64 "
+            "momentum table is precomputed host-side)"
+        )
     for p in solver.proj:
         if not isinstance(p, (PositiveRegularization, RealRegularization)):
             raise ValueError(
                 "fused dense PGM path supports only Positive/Real "
                 f"projections, got {type(p).__name__}"
             )
+    if method == "optista" and solver.proj:
+        raise ValueError(
+            "OptISTA applies no projection terms in-step (optista.py); "
+            "use the composed path"
+        )
     m, n = solver.A.mat.shape
     if 4 * m * n * 4 + 2 * 1024 * 1024 > _VMEM_BUDGET_BYTES:
         raise ValueError(
@@ -157,7 +213,7 @@ def check_pgm_dense_fused(solver):
         if any(isinstance(p, PositiveRegularization) for p in solver.proj)
         else "none"
     )
-    return kind, prox
+    return method, kind, prox
 
 
 def solve_pgm_dense_fused(
@@ -168,7 +224,7 @@ def solve_pgm_dense_fused(
     n × K)."""
     from ..models.regularization import normalization_factor
 
-    kind, prox = check_pgm_dense_fused(solver)
+    method, kind, prox = check_pgm_dense_fused(solver)
     mat = jnp.asarray(solver.A.mat, jnp.float32)
     m, n = mat.shape
     B_mat = jnp.asarray(B_mat, jnp.float32)
@@ -213,22 +269,32 @@ def solve_pgm_dense_fused(
         )
     )
 
+    steps = solver.total_steps
+    if method == "fista":
+        tab = jnp.zeros((1, 4), jnp.float32)  # unused dummy
+    else:
+        tab = jnp.asarray(
+            _momentum_table(method, steps, float(solver.theta))
+        )
+
     def run(scal_c, bt_c):
         return pl.pallas_call(
             functools.partial(
                 _kernel,
-                steps=solver.total_steps,
+                steps=steps,
                 m=m,
                 n=n,
+                method=method,
                 reg_kind=kind,
-                restart=solver.restart,
+                restart=getattr(solver, "restart", "none"),
                 prox=prox,
             ),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((bt_c.shape[0], n), jnp.float32),
             interpret=interpret,
-        )(scal_c, bt_c, mf2, ma2)
+        )(tab, scal_c, bt_c, mf2, ma2)
 
     if P > p_max:
         x = jnp.concatenate(

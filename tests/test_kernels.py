@@ -1551,8 +1551,25 @@ def test_pgm_dense_fused_rejections(rng):
     pogm = rt.POGM.create(
         rt.DenseOperator(A), reg=rt.L1Regularization(1e-3), iterations=4
     )
-    with pytest.raises(ValueError, match="FISTA"):
-        check_pgm_dense_fused(pogm)
+    check_pgm_dense_fused(pogm)  # POGM rides the table path now
+    pogm_r = rt.POGM.create(
+        rt.DenseOperator(A), reg=rt.L1Regularization(1e-3), iterations=4,
+        restart="gradient",
+    )
+    with pytest.raises(ValueError, match="composed"):
+        check_pgm_dense_fused(pogm_r)
+    kacz = rt.Kaczmarz.create(
+        rt.DenseOperator(A), reg=rt.L2Regularization(1e-3), iterations=4
+    )
+    with pytest.raises(ValueError, match="FISTA/OptISTA/POGM"):
+        check_pgm_dense_fused(kacz)
+    opt_p = rt.OptISTA.create(
+        rt.DenseOperator(A),
+        reg=[rt.L1Regularization(1e-3), rt.PositiveRegularization()],
+        iterations=4,
+    )
+    with pytest.raises(ValueError, match="projection"):
+        check_pgm_dense_fused(opt_p)
 
     s_tv = rt.FISTA.create(
         rt.DenseOperator(A),
@@ -1590,3 +1607,35 @@ def test_fused_and_tiled_gradient_mapping_match_composed(rng):
     # tiled VMEM-carry variant (n=24 rows tile fine at this size)
     got_t = np.asarray(solve_fista_tv_tiled(solver, B, mode="vmem"))
     np.testing.assert_allclose(got_t, want, rtol=0, atol=1e-4)
+
+
+def test_pgm_dense_fused_optista_pogm_match_composed(rng):
+    """OptISTA/POGM dense solves ride the f64-table loop and must match
+    the composed unrolled paths (table vs f32 scalar recurrence: ~1e-5
+    trajectory differences over 40 iterations)."""
+    from rls_tpu.kernels import solve_pgm_dense_fused
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    m, n, P = 48, 96, 3
+    A = jnp.asarray(rng.normal(size=(m, n)) / np.sqrt(m), jnp.float32)
+    X = jnp.asarray(
+        rng.normal(size=(n, P)) * (rng.uniform(size=(n, P)) < 0.2),
+        jnp.float32,
+    )
+    B = A @ X
+    for cls, reg in (
+        (rt.OptISTA, rt.L1Regularization(1e-3)),
+        (rt.OptISTA, rt.L2Regularization(1e-3)),
+        (rt.POGM, rt.L1Regularization(1e-3)),
+        (rt.POGM, [rt.L1Regularization(1e-3), rt.PositiveRegularization()]),
+    ):
+        L = float(np.linalg.norm(np.asarray(A), 2) ** 2)
+        s = cls.create(
+            rt.DenseOperator(A), reg=reg, iterations=40, rho=0.95 / L,
+            track_residual=False,
+        )
+        want = np.asarray(solve_batched_unrolled(s, B))
+        got = np.asarray(solve_pgm_dense_fused(s, B, interpret=True))
+        err = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-30)
+        assert np.isfinite(got).all()
+        assert err < 1e-4, (cls.__name__, err)
