@@ -129,6 +129,101 @@ def _kernel(
     x_out[...] = x
 
 
+def _kernel_cplx(
+    scal_ref,  # VMEM (P, 3): per-problem [lam_eff, rho, theta0]
+    br_ref,  # VMEM (P, m) Re b
+    bi_ref,  # VMEM (P, m) Im b
+    fr2_ref,  # VMEM (n, 2m) [Arᵀ_hi | Arᵀ_lo] — forward real factor
+    fi2_ref,  # VMEM (n, 2m) [Aiᵀ_hi | Aiᵀ_lo] — forward imag factor
+    ar2_ref,  # VMEM (m, 2n) [Ar_hi | Ar_lo] — adjoint real factor
+    ai2_ref,  # VMEM (m, 2n) [Ai_hi | Ai_lo] — adjoint imag factor
+    xr_out,  # VMEM (P, n)
+    xi_out,  # VMEM (P, n)
+    *,
+    steps: int,
+    m: int,
+    n: int,
+    reg_kind: str,
+    restart: str,
+    prox: str,
+):
+    """Complex variant of the dense FISTA kernel: the iterate lives as
+    separate re/im planes (no lane-dim concats — Mosaic-safe at any n),
+    every A/Aᴴ apply is four fully-compensated real matmuls with the
+    complex multiply pattern, the L1 prox is the complex-safe GROUP soft
+    threshold over the plane pair (ProxL1.jl:18-22), and the restart dot
+    is the real part of the complex inner product (both planes summed).
+    """
+    lam = scal_ref[:, 0:1]
+    rho = scal_ref[:, 1:2]
+    th0 = scal_ref[:, 2:3]
+    fr2 = fr2_ref[...]
+    fi2 = fi2_ref[...]
+    ar2 = ar2_ref[...]
+    ai2 = ai2_ref[...]
+
+    def fwd(xr, xi):  # A x (unconjugated)
+        qr = _mm_comp(xr, fr2, m) - _mm_comp(xi, fi2, m)
+        qi = _mm_comp(xr, fi2, m) + _mm_comp(xi, fr2, m)
+        return qr, qi
+
+    def adj(qr, qi):  # Aᴴ q (conjugate transpose)
+        vr = _mm_comp(qr, ar2, n) + _mm_comp(qi, ai2, n)
+        vi = _mm_comp(qi, ar2, n) - _mm_comp(qr, ai2, n)
+        return vr, vi
+
+    x0r, x0i = adj(br_ref[...], bi_ref[...])  # Aᴴ b
+    zr = x0r * 0.0
+    eps = jnp.asarray(jnp.finfo(jnp.float32).eps, jnp.float32)
+
+    def body(_, carry):
+        xr, xi, xro, xio, theta, theta_old = carry
+        alpha = (theta_old - 1.0) / theta
+        ymr = xr + alpha * (xr - xro)
+        ymi = xi + alpha * (xi - xio)
+        qr, qi = fwd(ymr, ymi)
+        rr, ri = adj(qr, qi)
+        rr = rr - x0r
+        ri = ri - x0i
+        gr = ymr - rho * rr
+        gi = ymi - rho * ri
+        rl = rho * lam
+        if reg_kind == "l1":
+            mag = jnp.sqrt(gr * gr + gi * gi)
+            sc = jnp.maximum(mag - rl, 0.0) / (mag + eps)
+            nxr = sc * (gr + eps)
+            nxi = sc * gi
+        else:
+            nxr = gr / (1.0 + 2.0 * rl)
+            nxi = gi / (1.0 + 2.0 * rl)
+        if prox == "positive":
+            nxr = jnp.maximum(nxr, 0.0)
+            nxi = nxi * 0.0
+        elif prox == "real":
+            nxi = nxi * 0.0
+        if restart == "gradient":
+            dot = jnp.sum(
+                rr * (nxr - xr) + ri * (nxi - xi), axis=1, keepdims=True
+            )
+            theta = jnp.where(dot > 0, 1.0, theta)
+        elif restart == "gradient_mapping":
+            dot = jnp.sum(
+                (ymr - nxr) * (nxr - xr) + (ymi - nxi) * (nxi - xi),
+                axis=1,
+                keepdims=True,
+            )
+            theta = jnp.where(dot > 0, 1.0, theta)
+        theta_old_new = theta
+        theta_new = (1.0 + jnp.sqrt(1.0 + 4.0 * theta_old_new**2)) / 2.0
+        return (nxr, nxi, xr, xi, theta_new, theta_old_new)
+
+    xr, xi, *_ = lax.fori_loop(
+        0, steps, body, (zr, zr, zr, zr, th0, th0)
+    )
+    xr_out[...] = xr
+    xi_out[...] = xi
+
+
 def check_pgm_dense_fused(solver):
     """Validate `solver` for the fused dense FISTA kernel (raises
     ValueError naming the unsupported piece)."""
@@ -155,8 +250,12 @@ def check_pgm_dense_fused(solver):
         )
     if solver.A is None or not isinstance(solver.A, DenseOperator):
         raise ValueError("fused dense PGM path requires a dense operator A")
-    if jnp.issubdtype(solver.A.mat.dtype, jnp.complexfloating):
-        raise ValueError("fused dense PGM path covers real systems only")
+    is_cplx = jnp.issubdtype(solver.A.mat.dtype, jnp.complexfloating)
+    if is_cplx and method != "fista":
+        raise ValueError(
+            "complex dense OptISTA/POGM: use the composed path (the "
+            "separate-plane kernel covers FISTA)"
+        )
     if not (
         isinstance(solver.AHA, NormalOperator)
         and solver.AHA.A is solver.A
@@ -203,16 +302,20 @@ def check_pgm_dense_fused(solver):
             "use the composed path"
         )
     m, n = solver.A.mat.shape
-    if 4 * m * n * 4 + 2 * 1024 * 1024 > _VMEM_BUDGET_BYTES:
+    fac = 8 if is_cplx else 4  # complex: re+im factor pairs, both sides
+    if fac * m * n * 4 + 2 * 1024 * 1024 > _VMEM_BUDGET_BYTES:
         raise ValueError(
             f"fused dense PGM factors for a {m}x{n} matrix exceed VMEM; "
             "use the composed path"
         )
-    prox = (
-        "positive"
-        if any(isinstance(p, PositiveRegularization) for p in solver.proj)
-        else "none"
-    )
+    if any(isinstance(p, PositiveRegularization) for p in solver.proj):
+        prox = "positive"
+    elif is_cplx and any(
+        isinstance(p, RealRegularization) for p in solver.proj
+    ):
+        prox = "real"  # zeroes the imaginary plane — not an identity here
+    else:
+        prox = "none"
     return method, kind, prox
 
 
@@ -225,12 +328,16 @@ def solve_pgm_dense_fused(
     from ..models.regularization import normalization_factor
 
     method, kind, prox = check_pgm_dense_fused(solver)
-    mat = jnp.asarray(solver.A.mat, jnp.float32)
-    m, n = mat.shape
-    B_mat = jnp.asarray(B_mat, jnp.float32)
+    mat0 = jnp.asarray(solver.A.mat)
+    is_cplx = jnp.issubdtype(mat0.dtype, jnp.complexfloating)
+    m, n = mat0.shape
+    B_mat = jnp.asarray(B_mat)
     if B_mat.shape[0] != m:
         raise ValueError(f"B has {B_mat.shape[0]} rows, operator expects {m}")
-    bt = B_mat.T  # (P, m)
+    if is_cplx:
+        return _solve_cplx(solver, B_mat, kind, prox, interpret, batch_chunk)
+    mat = mat0.astype(jnp.float32)
+    bt = B_mat.astype(jnp.float32).T  # (P, m)
     P = bt.shape[0]
 
     scale = jax.vmap(
@@ -307,3 +414,92 @@ def solve_pgm_dense_fused(
     else:
         x = run(scal, bt)
     return x.T
+
+
+def _solve_cplx(solver, B_mat, kind, prox, interpret, batch_chunk):
+    """Complex dense FISTA via the separate-plane kernel (_kernel_cplx)."""
+    from ..models.regularization import normalization_factor
+
+    mat0 = jnp.asarray(solver.A.mat)
+    m, n = mat0.shape
+    B_mat = B_mat.astype(jnp.complex64)
+    bt = B_mat.T  # (P, m) complex
+    P = bt.shape[0]
+    scale = jax.vmap(
+        lambda col: normalization_factor(solver.normalize_reg, solver.A, col)
+    )(bt)
+    lam_eff = jnp.real(jnp.asarray(solver.reg.get_lam(), jnp.float32)) * (
+        jnp.real(jnp.asarray(scale)).astype(jnp.float32)
+    )
+    scal = jnp.stack(
+        [
+            jnp.broadcast_to(lam_eff.reshape(-1), (P,)),
+            jnp.broadcast_to(
+                jnp.real(jnp.asarray(solver.rho)).astype(jnp.float32).reshape(-1),
+                (P,),
+            ),
+            jnp.broadcast_to(
+                jnp.asarray(solver.theta, jnp.float32).reshape(-1), (P,)
+            ),
+        ],
+        axis=1,
+    )
+    ar = jnp.real(mat0).astype(jnp.float32)
+    ai = jnp.imag(mat0).astype(jnp.float32)
+
+    def cat2(v, axis):
+        hi, lo = split_bf16(v)
+        return jnp.concatenate([hi, lo], axis=axis)
+
+    fr2 = cat2(ar.T, 1)  # (n, 2m)
+    fi2 = cat2(ai.T, 1)
+    ar2 = cat2(ar, 1)  # (m, 2n)
+    ai2 = cat2(ai, 1)
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    per_problem = (10 * n + 4 * m) * 4  # plane pairs of x/x_old/y/res + b
+    p_max = (
+        batch_chunk
+        if batch_chunk is not None
+        else max(
+            1, (_VMEM_BUDGET_BYTES - 8 * m * n * 4) // max(per_problem, 1)
+        )
+    )
+
+    def run(scal_c, br_c, bi_c):
+        return pl.pallas_call(
+            functools.partial(
+                _kernel_cplx,
+                steps=solver.total_steps,
+                m=m,
+                n=n,
+                reg_kind=kind,
+                restart=getattr(solver, "restart", "none"),
+                prox=prox,
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((br_c.shape[0], n), jnp.float32),
+                jax.ShapeDtypeStruct((br_c.shape[0], n), jnp.float32),
+            ),
+            interpret=interpret,
+        )(scal_c, br_c, bi_c, fr2, fi2, ar2, ai2)
+
+    br = jnp.real(bt).astype(jnp.float32)
+    bi = jnp.imag(bt).astype(jnp.float32)
+    if P > p_max:
+        parts = [
+            run(scal[i : i + p_max], br[i : i + p_max], bi[i : i + p_max])
+            for i in range(0, P, p_max)
+        ]
+        xr = jnp.concatenate([pr[0] for pr in parts], axis=0)
+        xi = jnp.concatenate([pr[1] for pr in parts], axis=0)
+    else:
+        xr, xi = run(scal, br, bi)
+    return (xr + 1j * xi).astype(jnp.complex64).T

@@ -1639,3 +1639,38 @@ def test_pgm_dense_fused_optista_pogm_match_composed(rng):
         err = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-30)
         assert np.isfinite(got).all()
         assert err < 1e-4, (cls.__name__, err)
+
+
+def test_pgm_dense_fused_complex_matches_unrolled(rng):
+    """Complex dense FISTA rides the separate-plane kernel: group L1
+    soft threshold over the re/im pair, complex-pattern compensated
+    matvecs, real-part restart dots, and the Real/Positive projections'
+    complex semantics (imaginary plane zeroed)."""
+    from rls_tpu.kernels import solve_pgm_dense_fused
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    m, n, P = 40, 24, 3
+    Ac = jnp.asarray(
+        (rng.normal(size=(m, n)) + 1j * rng.normal(size=(m, n)))
+        / np.sqrt(2 * m),
+        jnp.complex64,
+    )
+    B = jnp.asarray(
+        rng.normal(size=(m, P)) + 1j * rng.normal(size=(m, P)), jnp.complex64
+    )
+    for reg, kwargs in (
+        (rt.L1Regularization(1e-3), dict()),
+        (rt.L1Regularization(1e-3), dict(restart="gradient")),
+        (rt.L1Regularization(1e-3), dict(restart="gradient_mapping")),
+        (rt.L2Regularization(1e-3), dict()),
+        ([rt.L1Regularization(1e-3), rt.RealRegularization()], dict()),
+    ):
+        s = rt.FISTA.create(
+            rt.DenseOperator(Ac), reg=reg, iterations=30, rho=0.3,
+            track_residual=False, **kwargs,
+        )
+        want = np.asarray(solve_batched_unrolled(s, B))
+        got = np.asarray(solve_pgm_dense_fused(s, B, interpret=True))
+        assert got.dtype == np.complex64
+        err = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-30)
+        assert err < 1e-4, (reg, kwargs, err)
