@@ -1664,6 +1664,7 @@ def test_pgm_dense_fused_complex_matches_unrolled(rng):
         (rt.L1Regularization(1e-3), dict(restart="gradient_mapping")),
         (rt.L2Regularization(1e-3), dict()),
         ([rt.L1Regularization(1e-3), rt.RealRegularization()], dict()),
+        ([rt.L1Regularization(1e-3), rt.PositiveRegularization()], dict()),
     ):
         s = rt.FISTA.create(
             rt.DenseOperator(Ac), reg=reg, iterations=30, rho=0.3,
