@@ -7,6 +7,7 @@ from .mesh import (
     solve_admm_tv_fused_sharded,
     solve_cgnr_fused_sharded,
     solve_pdhg_fused_sharded,
+    solve_pgm_dense_fused_sharded,
     solve_fista_tv_fused_sharded,
     solve_fused_sharded,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "solve_admm_tv_fused_sharded",
     "solve_cgnr_fused_sharded",
     "solve_pdhg_fused_sharded",
+    "solve_pgm_dense_fused_sharded",
     "solve_fused_sharded",
     "initialize_multihost",
     "is_multihost",

@@ -147,6 +147,17 @@ def solve_cgnr_fused_sharded(
     return solve_fused_sharded(solve_cgnr_fused, solver, B, mesh, axis, interpret)
 
 
+def solve_pgm_dense_fused_sharded(
+    solver, B, mesh: Mesh, axis: str = "batch", interpret=None
+):
+    """Sharded fused dense PGM solve (see solve_fused_sharded)."""
+    from ..kernels import solve_pgm_dense_fused
+
+    return solve_fused_sharded(
+        solve_pgm_dense_fused, solver, B, mesh, axis, interpret
+    )
+
+
 def solve_pdhg_fused_sharded(
     solver, B, mesh: Mesh, axis: str = "batch", interpret=None
 ):

@@ -191,3 +191,26 @@ def test_fused_pdhg_sharded(rng):
     got = np.asarray(solve_pdhg_fused_sharded(solver, B, mesh, interpret=True))
     want = np.asarray(solve_pdhg_fused(solver, B, interpret=True))
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_fused_pgm_dense_sharded(rng):
+    """Sharded fused dense FISTA must match the unsharded kernel."""
+    import jax
+
+    from rls_tpu.kernels import solve_pgm_dense_fused
+    from rls_tpu.parallel import make_mesh, solve_pgm_dense_fused_sharded
+
+    ndev = len(jax.devices())
+    m, n, batch = 24, 48, 2 * ndev
+    A = jnp.asarray(rng.normal(size=(m, n)) / np.sqrt(m), jnp.float32)
+    solver = rt.FISTA.create(
+        rt.DenseOperator(A), reg=rt.L1Regularization(1e-3), iterations=8,
+        rho=0.1, track_residual=False,
+    )
+    B = jnp.asarray(rng.normal(size=(m, batch)), jnp.float32)
+    mesh = make_mesh(axis_names=("batch",))
+    got = np.asarray(
+        solve_pgm_dense_fused_sharded(solver, B, mesh, interpret=True)
+    )
+    want = np.asarray(solve_pgm_dense_fused(solver, B, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)

@@ -118,6 +118,42 @@ def main():
         }
         print(f"cgnr row-sharded {nd}d: {1/dt:.1f} solves/s", file=sys.stderr)
 
+    # ---- batch-sharded fused dense FISTA (whole-solve kernel under
+    # shard_map — interpret-mode Pallas on the virtual CPU mesh) ------------
+    from rls_tpu.parallel import solve_pgm_dense_fused_sharded
+
+    report["pgm_dense_batch_sharded"] = {}
+    md, ndc, Kd = 96, 192, 16
+    Ad = jnp.asarray(
+        rng.normal(size=(md, ndc)) / np.sqrt(md), jnp.float32
+    )
+    Xd = jnp.asarray(
+        rng.normal(size=(ndc, Kd)) * (rng.uniform(size=(ndc, Kd)) < 0.1),
+        jnp.float32,
+    )
+    Bd = Ad @ Xd
+    Ldn = float(np.linalg.norm(np.asarray(Ad), 2) ** 2)
+    sd = rt.FISTA.create(
+        rt.DenseOperator(Ad), reg=rt.L1Regularization(1e-3), iterations=40,
+        rho=0.95 / Ldn, track_residual=False,
+    )
+    for nd in (1, 2, 4, 8):
+        mesh = make_mesh(devices=jax.devices()[:nd])
+        out = solve_pgm_dense_fused_sharded(sd, Bd, mesh, interpret=True)
+        np.asarray(out)
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            out = solve_pgm_dense_fused_sharded(sd, Bd, mesh, interpret=True)
+        np.asarray(out)
+        dt = (time.perf_counter() - t0) / reps
+        report["pgm_dense_batch_sharded"][str(nd)] = {
+            "problems_per_s": round(Kd / dt, 2),
+            "wall_s": round(dt, 4),
+        }
+        print(f"pgm_dense batch-sharded {nd}d: {Kd/dt:.1f} problems/s",
+              file=sys.stderr)
+
     out_path = os.path.join(REPO, "SCALING_r03.json")
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
