@@ -64,6 +64,25 @@ def _mm_comp(x, m2, out_cols: int):
     )
 
 
+def chunked_batch_run(run, p_max: int, *arrays):
+    """Run `run(*chunks)` over row-chunks of `arrays` (≤ p_max rows per
+    call) and concatenate the results along axis 0. `run` may return one
+    array or a tuple of arrays; single-call when everything fits."""
+    P = arrays[0].shape[0]
+    if P <= p_max:
+        return run(*arrays)
+    parts = [
+        run(*(a[i : i + p_max] for a in arrays))
+        for i in range(0, P, p_max)
+    ]
+    if isinstance(parts[0], tuple):
+        return tuple(
+            jnp.concatenate([pr[k] for pr in parts], axis=0)
+            for k in range(len(parts[0]))
+        )
+    return jnp.concatenate(parts, axis=0)
+
+
 def _kernel(
     lam_ref,  # VMEM (P, 1) per-problem effective λ
     b_ref,  # VMEM (P, m)
@@ -194,6 +213,17 @@ def solve_cgnr_fused(
             else jnp.zeros_like(ar)
         )
         mat = jnp.block([[ar, -ai], [ai, ar]])  # (2m, 2n)
+        # the check only sees the solver; a real A + complex b reaches
+        # the embedding anyway, so re-gate the 4x-larger factors here
+        # (graceful ValueError instead of a Mosaic VMEM OOM)
+        if 4 * (2 * ar.shape[0]) * (2 * ar.shape[1]) * 4 + 2 * 1024 * 1024 > (
+            _VMEM_BUDGET_BYTES
+        ):
+            raise ValueError(
+                "fused CGNR split-real embedding factors for a "
+                f"{ar.shape[0]}x{ar.shape[1]} system with complex data "
+                "exceed VMEM; use the scan path"
+            )
         bt = jnp.concatenate(
             [jnp.real(B_mat).T, jnp.imag(B_mat).T], axis=1
         ).astype(jnp.float32)  # (P, 2m)
@@ -237,16 +267,7 @@ def solve_cgnr_fused(
             interpret=interpret,
         )(lam_c, bt_c, mf2, ma2)
 
-    if P > p_max:
-        x = jnp.concatenate(
-            [
-                run(lam[i : i + p_max], bt[i : i + p_max])
-                for i in range(0, P, p_max)
-            ],
-            axis=0,
-        )
-    else:
-        x = run(lam, bt)
+    x = chunked_batch_run(run, p_max, lam, bt)
     if is_cplx:
         dt_c = (
             mat0.dtype

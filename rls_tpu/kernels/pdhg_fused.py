@@ -38,21 +38,18 @@ from ._fgp_common import make_sepconv_stencil_ops
 
 __all__ = ["check_pdhg_fused", "solve_pdhg_fused", "pdhg_fused"]
 
+from ..models.solvers.pdhg import _W8 as _W8_TRIPLE  # single source
+
 # direction (dr, dc) of the subtracted sample per plane — the order of
-# Grad8Operator.mv / the reference's BB: axial, diagonal, knight-move
+# Grad8Operator.mv / the reference's BB: axial, diagonal, knight-move.
+# Locked to the composed path end-to-end by the tv8 equivalence tests.
 _DIRS8 = ((1, 0), (0, 1), (1, 1), (1, -1), (2, 1), (2, -1), (1, 2), (1, -2))
-# per-direction weights of the reference's ProxTVConj (pdhg._W8)
-_SQ5 = 5.0**0.5
-_SQ2 = 2.0**0.5
+# per-direction weights expanded from the solver's (axial, diagonal,
+# knight) triple — the same expansion prox_tv_conj_8dir applies
 _W8 = (
-    _SQ5 - 2.0,
-    _SQ5 - 2.0,
-    _SQ5 - 3.0 * _SQ2 / 2.0,
-    _SQ5 - 3.0 * _SQ2 / 2.0,
-    (1.0 + _SQ2 - _SQ5) / 2.0,
-    (1.0 + _SQ2 - _SQ5) / 2.0,
-    (1.0 + _SQ2 - _SQ5) / 2.0,
-    (1.0 + _SQ2 - _SQ5) / 2.0,
+    _W8_TRIPLE[0], _W8_TRIPLE[0],
+    _W8_TRIPLE[1], _W8_TRIPLE[1],
+    _W8_TRIPLE[2], _W8_TRIPLE[2], _W8_TRIPLE[2], _W8_TRIPLE[2],
 )
 
 
@@ -278,6 +275,11 @@ def solve_pdhg_fused(solver, B_mat, interpret: bool | None = None):
     op = solver.A
     H, W = op.im_shape
     B_mat = jnp.asarray(B_mat)
+    if jnp.issubdtype(B_mat.dtype, jnp.complexfloating):
+        raise ValueError(
+            "fused PDHG path covers real data only (complex b: the "
+            "composed real-only solver rejects it too)"
+        )
     if B_mat.shape[0] != H * W:
         raise ValueError(
             f"B has {B_mat.shape[0]} rows, operator expects {H * W}"

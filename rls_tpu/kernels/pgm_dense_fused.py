@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops._precise import split_bf16
-from .cgnr_fused import _mm_comp
+from .cgnr_fused import _mm_comp, chunked_batch_run
 from .fista_tv_fused import _momentum_table, _pgm_loop
 
 __all__ = ["check_pgm_dense_fused", "solve_pgm_dense_fused"]
@@ -329,12 +329,29 @@ def solve_pgm_dense_fused(
 
     method, kind, prox = check_pgm_dense_fused(solver)
     mat0 = jnp.asarray(solver.A.mat)
-    is_cplx = jnp.issubdtype(mat0.dtype, jnp.complexfloating)
-    m, n = mat0.shape
     B_mat = jnp.asarray(B_mat)
+    is_cplx = jnp.issubdtype(mat0.dtype, jnp.complexfloating) or jnp.issubdtype(
+        B_mat.dtype, jnp.complexfloating
+    )
+    m, n = mat0.shape
     if B_mat.shape[0] != m:
         raise ValueError(f"B has {B_mat.shape[0]} rows, operator expects {m}")
     if is_cplx:
+        # covers complex A AND the real-A/complex-b case (the plane
+        # kernel with Im A = 0 — the planes still couple through the
+        # joint momentum/restart scalars, so plane-stacking would be
+        # wrong and plain casting would silently drop Im b)
+        if method != "fista":
+            raise ValueError(
+                "complex dense OptISTA/POGM: use the composed path"
+            )
+        if prox == "none":
+            # the check saw only A; with a REAL A and complex b the Real
+            # projection is NOT the identity (it zeroes the imag plane)
+            from ..models.prox import RealRegularization
+
+            if any(isinstance(pp, RealRegularization) for pp in solver.proj):
+                prox = "real"
         return _solve_cplx(solver, B_mat, kind, prox, interpret, batch_chunk)
     mat = mat0.astype(jnp.float32)
     bt = B_mat.astype(jnp.float32).T  # (P, m)
@@ -403,16 +420,7 @@ def solve_pgm_dense_fused(
             interpret=interpret,
         )(tab, scal_c, bt_c, mf2, ma2)
 
-    if P > p_max:
-        x = jnp.concatenate(
-            [
-                run(scal[i : i + p_max], bt[i : i + p_max])
-                for i in range(0, P, p_max)
-            ],
-            axis=0,
-        )
-    else:
-        x = run(scal, bt)
+    x = chunked_batch_run(run, p_max, scal, bt)
     return x.T
 
 
@@ -493,13 +501,5 @@ def _solve_cplx(solver, B_mat, kind, prox, interpret, batch_chunk):
 
     br = jnp.real(bt).astype(jnp.float32)
     bi = jnp.imag(bt).astype(jnp.float32)
-    if P > p_max:
-        parts = [
-            run(scal[i : i + p_max], br[i : i + p_max], bi[i : i + p_max])
-            for i in range(0, P, p_max)
-        ]
-        xr = jnp.concatenate([pr[0] for pr in parts], axis=0)
-        xi = jnp.concatenate([pr[1] for pr in parts], axis=0)
-    else:
-        xr, xi = run(scal, br, bi)
+    xr, xi = chunked_batch_run(run, p_max, scal, br, bi)
     return (xr + 1j * xi).astype(jnp.complex64).T

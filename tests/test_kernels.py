@@ -309,12 +309,6 @@ def test_fista_l1_dft_fused_rejects_unsupported(rng):
         solve_fista_l1_dft_fused(s, jnp.zeros((n, 2), jnp.float32))
 
 
-def warnings_module():
-    import warnings
-
-    return warnings
-
-
 def test_solve_batched_fast_dispatch(rng):
     """Auto-dispatch picks a fused kernel when applicable and falls back to
     the composed driver otherwise, matching reference results."""
@@ -357,8 +351,10 @@ def test_solve_batched_fast_dispatch(rng):
         ),
         iterations=6, rho=0.05, track_residual=False,
     )
-    with warnings_module().catch_warnings():
-        warnings_module().simplefilter("ignore")
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
         got = np.asarray(solve_batched_fast(s_fb, Bp))
     want = np.asarray(solve_batched_unrolled(s_fb, Bp))
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
@@ -1675,3 +1671,43 @@ def test_pgm_dense_fused_complex_matches_unrolled(rng):
         assert got.dtype == np.complex64
         err = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-30)
         assert err < 1e-4, (reg, kwargs, err)
+
+
+def test_pgm_dense_fused_real_A_complex_b(rng):
+    """Real A with complex b routes through the plane kernel (Im A = 0):
+    the planes couple through the joint momentum scalars, and the Real
+    projection must zero the imaginary plane (the check sees only the
+    real A, so the wrapper re-derives the prox kind)."""
+    from rls_tpu.kernels import solve_pgm_dense_fused
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    m, n, P = 32, 20, 2
+    A = jnp.asarray(rng.normal(size=(m, n)) / np.sqrt(m), jnp.float32)
+    Bc = jnp.asarray(
+        rng.normal(size=(m, P)) + 1j * rng.normal(size=(m, P)), jnp.complex64
+    )
+    for reg in (
+        rt.L1Regularization(1e-3),
+        [rt.L1Regularization(1e-3), rt.RealRegularization()],
+    ):
+        s = rt.FISTA.create(
+            rt.DenseOperator(A), reg=reg, iterations=20, rho=0.2,
+            track_residual=False,
+        )
+        want = np.asarray(solve_batched_unrolled(s, Bc))
+        got = np.asarray(solve_pgm_dense_fused(s, Bc, interpret=True))
+        assert got.dtype == np.complex64
+        err = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert err < 1e-4, err
+
+
+def test_pdhg_fused_rejects_complex_b(rng):
+    from rls_tpu.kernels import solve_pdhg_fused
+
+    n = 16
+    op, B = _pdhg_problem(rng, n=n, P=1)
+    s = rt.PDHG.create(
+        op, reg=rt.TVRegularization(1e-3, shape=(n, n)), iterations=3
+    )
+    with pytest.raises(ValueError, match="real data"):
+        solve_pdhg_fused(s, B.astype(jnp.complex64), interpret=True)
