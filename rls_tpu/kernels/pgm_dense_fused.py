@@ -130,6 +130,7 @@ def _kernel(
 
 
 def _kernel_cplx(
+    tab_ref,  # SMEM (steps, 4): momentum schedule (OptISTA/POGM only)
     scal_ref,  # VMEM (P, 3): per-problem [lam_eff, rho, theta0]
     br_ref,  # VMEM (P, m) Re b
     bi_ref,  # VMEM (P, m) Im b
@@ -143,11 +144,12 @@ def _kernel_cplx(
     steps: int,
     m: int,
     n: int,
+    method: str,
     reg_kind: str,
     restart: str,
     prox: str,
 ):
-    """Complex variant of the dense FISTA kernel: the iterate lives as
+    """Complex variant of the dense PGM kernel: the iterate lives as
     separate re/im planes (no lane-dim concats — Mosaic-safe at any n),
     every A/Aᴴ apply is four fully-compensated real matmuls with the
     complex multiply pattern, the L1 prox is the complex-safe GROUP soft
@@ -176,31 +178,67 @@ def _kernel_cplx(
     zr = x0r * 0.0
     eps = jnp.asarray(jnp.finfo(jnp.float32).eps, jnp.float32)
 
+    def prox_pair(gr, gi, lam_s):
+        if reg_kind == "l1":
+            mag = jnp.sqrt(gr * gr + gi * gi)
+            sc = jnp.maximum(mag - lam_s, 0.0) / (mag + eps)
+            pr_, pi_ = sc * (gr + eps), sc * gi
+        else:
+            pr_, pi_ = gr / (1.0 + 2.0 * lam_s), gi / (1.0 + 2.0 * lam_s)
+        if prox == "positive":
+            pr_ = jnp.maximum(pr_, 0.0)
+            pi_ = pi_ * 0.0
+        elif prox == "real":
+            pi_ = pi_ * 0.0
+        return pr_, pi_
+
+    def residual(xr, xi):
+        qr, qi = fwd(xr, xi)
+        rr, ri = adj(qr, qi)
+        return rr - x0r, ri - x0i
+
+    if method != "fista":
+        # table-driven OptISTA/POGM on plane pairs — the complex twin of
+        # fista_tv_fused._pgm_loop (semantics optista.py/pogm.py step)
+        def body_tab(i, carry):
+            xr, xi, m1r, m1i, m2r, m2i = carry
+            a = tab_ref[i, 0]
+            bcoef = tab_ref[i, 1]
+            g = tab_ref[i, 2]
+            e = tab_ref[i, 3]
+            rr, ri = residual(xr, xi)
+            if method == "optista":  # m1 = y, m2 = z
+                ynr, yni = prox_pair(
+                    m1r - (rho * g) * rr, m1i - (rho * g) * ri,
+                    (rho * g) * lam,
+                )
+                znr = xr + (ynr - m1r) * e
+                zni = xi + (yni - m1i) * e
+                xnr = (1.0 + a + bcoef) * znr - a * m2r - bcoef * xr
+                xni = (1.0 + a + bcoef) * zni - a * m2i - bcoef * xi
+                return (xnr, xni, ynr, yni, znr, zni)
+            # pogm: m1 = y, m2 = x_mid
+            ynr = xr - rho * rr
+            yni = xi - rho * ri
+            xmr = (1.0 + a + bcoef) * ynr - a * m1r - (bcoef + e) * xr + e * m2r
+            xmi = (1.0 + a + bcoef) * yni - a * m1i - (bcoef + e) * xi + e * m2i
+            xnr, xni = prox_pair(xmr, xmi, (rho * g) * lam)
+            return (xnr, xni, ynr, yni, xmr, xmi)
+
+        xr, xi, *_ = lax.fori_loop(
+            0, steps, body_tab, (zr, zr, zr, zr, zr, zr)
+        )
+        xr_out[...] = xr
+        xi_out[...] = xi
+        return
+
     def body(_, carry):
         xr, xi, xro, xio, theta, theta_old = carry
         alpha = (theta_old - 1.0) / theta
         ymr = xr + alpha * (xr - xro)
         ymi = xi + alpha * (xi - xio)
-        qr, qi = fwd(ymr, ymi)
-        rr, ri = adj(qr, qi)
-        rr = rr - x0r
-        ri = ri - x0i
-        gr = ymr - rho * rr
-        gi = ymi - rho * ri
-        rl = rho * lam
-        if reg_kind == "l1":
-            mag = jnp.sqrt(gr * gr + gi * gi)
-            sc = jnp.maximum(mag - rl, 0.0) / (mag + eps)
-            nxr = sc * (gr + eps)
-            nxi = sc * gi
-        else:
-            nxr = gr / (1.0 + 2.0 * rl)
-            nxi = gi / (1.0 + 2.0 * rl)
-        if prox == "positive":
-            nxr = jnp.maximum(nxr, 0.0)
-            nxi = nxi * 0.0
-        elif prox == "real":
-            nxi = nxi * 0.0
+        rr, ri = residual(ymr, ymi)
+        nxr, nxi = prox_pair(ymr - rho * rr, ymi - rho * ri, rho * lam)
         if restart == "gradient":
             dot = jnp.sum(
                 rr * (nxr - xr) + ri * (nxi - xi), axis=1, keepdims=True
@@ -251,11 +289,6 @@ def check_pgm_dense_fused(solver):
     if solver.A is None or not isinstance(solver.A, DenseOperator):
         raise ValueError("fused dense PGM path requires a dense operator A")
     is_cplx = jnp.issubdtype(solver.A.mat.dtype, jnp.complexfloating)
-    if is_cplx and method != "fista":
-        raise ValueError(
-            "complex dense OptISTA/POGM: use the composed path (the "
-            "separate-plane kernel covers FISTA)"
-        )
     if not (
         isinstance(solver.AHA, NormalOperator)
         and solver.AHA.A is solver.A
@@ -341,10 +374,6 @@ def solve_pgm_dense_fused(
         # kernel with Im A = 0 — the planes still couple through the
         # joint momentum/restart scalars, so plane-stacking would be
         # wrong and plain casting would silently drop Im b)
-        if method != "fista":
-            raise ValueError(
-                "complex dense OptISTA/POGM: use the composed path"
-            )
         if prox == "none":
             # the check saw only A; with a REAL A and complex b the Real
             # projection is NOT the identity (it zeroes the imag plane)
@@ -352,7 +381,9 @@ def solve_pgm_dense_fused(
 
             if any(isinstance(pp, RealRegularization) for pp in solver.proj):
                 prox = "real"
-        return _solve_cplx(solver, B_mat, kind, prox, interpret, batch_chunk)
+        return _solve_cplx(
+            solver, B_mat, method, kind, prox, interpret, batch_chunk
+        )
     mat = mat0.astype(jnp.float32)
     bt = B_mat.astype(jnp.float32).T  # (P, m)
     P = bt.shape[0]
@@ -424,8 +455,8 @@ def solve_pgm_dense_fused(
     return x.T
 
 
-def _solve_cplx(solver, B_mat, kind, prox, interpret, batch_chunk):
-    """Complex dense FISTA via the separate-plane kernel (_kernel_cplx)."""
+def _solve_cplx(solver, B_mat, method, kind, prox, interpret, batch_chunk):
+    """Complex dense PGM via the separate-plane kernel (_kernel_cplx)."""
     from ..models.regularization import normalization_factor
 
     mat0 = jnp.asarray(solver.A.mat)
@@ -467,6 +498,13 @@ def _solve_cplx(solver, B_mat, kind, prox, interpret, batch_chunk):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
+    if method == "fista":
+        tab = jnp.zeros((1, 4), jnp.float32)  # unused dummy
+    else:
+        tab = jnp.asarray(
+            _momentum_table(method, solver.total_steps, float(solver.theta))
+        )
+
     per_problem = (10 * n + 4 * m) * 4  # plane pairs of x/x_old/y/res + b
     p_max = (
         batch_chunk
@@ -483,11 +521,13 @@ def _solve_cplx(solver, B_mat, kind, prox, interpret, batch_chunk):
                 steps=solver.total_steps,
                 m=m,
                 n=n,
+                method=method,
                 reg_kind=kind,
                 restart=getattr(solver, "restart", "none"),
                 prox=prox,
             ),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
             out_specs=(
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -497,7 +537,7 @@ def _solve_cplx(solver, B_mat, kind, prox, interpret, batch_chunk):
                 jax.ShapeDtypeStruct((br_c.shape[0], n), jnp.float32),
             ),
             interpret=interpret,
-        )(scal_c, br_c, bi_c, fr2, fi2, ar2, ai2)
+        )(tab, scal_c, br_c, bi_c, fr2, fi2, ar2, ai2)
 
     br = jnp.real(bt).astype(jnp.float32)
     bi = jnp.imag(bt).astype(jnp.float32)

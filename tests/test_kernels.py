@@ -1711,3 +1711,37 @@ def test_pdhg_fused_rejects_complex_b(rng):
     )
     with pytest.raises(ValueError, match="real data"):
         solve_pdhg_fused(s, B.astype(jnp.complex64), interpret=True)
+
+
+def test_pgm_dense_fused_complex_optista_pogm(rng):
+    """Complex dense OptISTA/POGM ride the plane-pair table loop and
+    must match the composed complex paths."""
+    from rls_tpu.kernels import solve_pgm_dense_fused
+    from rls_tpu.models.solvers import solve_batched_unrolled
+
+    m, n, P = 36, 20, 2
+    Ac = jnp.asarray(
+        (rng.normal(size=(m, n)) + 1j * rng.normal(size=(m, n)))
+        / np.sqrt(2 * m),
+        jnp.complex64,
+    )
+    B = jnp.asarray(
+        rng.normal(size=(m, P)) + 1j * rng.normal(size=(m, P)), jnp.complex64
+    )
+    L = float(np.linalg.norm(np.asarray(Ac), 2) ** 2)
+    for cls, reg in (
+        (rt.OptISTA, rt.L1Regularization(1e-3)),
+        (rt.OptISTA, rt.L2Regularization(1e-3)),
+        (rt.POGM, rt.L1Regularization(1e-3)),
+        (rt.POGM, [rt.L1Regularization(1e-3), rt.RealRegularization()]),
+    ):
+        s = cls.create(
+            rt.DenseOperator(Ac), reg=reg, iterations=30, rho=0.95 / L,
+            track_residual=False,
+        )
+        want = np.asarray(solve_batched_unrolled(s, B))
+        got = np.asarray(solve_pgm_dense_fused(s, B, interpret=True))
+        assert got.dtype == np.complex64
+        err = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-30)
+        assert np.isfinite(np.abs(got)).all()
+        assert err < 1e-4, (cls.__name__, err)
