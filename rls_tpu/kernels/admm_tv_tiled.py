@@ -210,6 +210,16 @@ def admm_tv_tiled(
         ],
         axis=1,
     )
+    # Scoped-VMEM limit: the 16 MiB Mosaic default is a compiler knob, not
+    # the hardware (v5e has 128 MiB VMEM). The picker's budget model counts
+    # 6 scratch + 2 block planes + the FGP tile, but the real allocation
+    # also double-buffers the in/out blocks and carries Mosaic stack slack —
+    # measured on chip: 16.23 MiB at 512²/TR=256 vs the 13.9 MiB model
+    # (bench_suite OOM, 2026-08-18). Grant the model + 2 extra planes +
+    # 2 MiB slack, never below the 16 MiB default.
+    plane = H * W * 4
+    model = (6 + 2) * plane + 10 * (TR + 2 * halo) * W * 4
+    vmem_limit = max(16 * 1024 * 1024, model + 2 * plane + 2 * 1024 * 1024)
     return pl.pallas_call(
         functools.partial(
             _kernel,
@@ -232,6 +242,7 @@ def admm_tv_tiled(
         scratch_shapes=[
             pltpu.VMEM((H, W), jnp.float32) for _ in range(6)
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(scal, x0hat_b)
 
