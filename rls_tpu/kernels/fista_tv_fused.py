@@ -600,6 +600,11 @@ def fista_tv_fused(
     if B % group:
         raise ValueError(f"batch {B} not divisible by group {group}")
     _check_vmem_pgm_tv(H * group, W, gram, im_h=H, warm_tv=warm_tv)
+    comp_params = pltpu.CompilerParams(
+        vmem_limit_bytes=_vmem_limit_pgm_tv(
+            H * group, W, gram, im_h=H, warm_tv=warm_tv
+        )
+    )
     if gram == "stencil" or (gram == "noconcat" and group > 1):
         # the grouped kernel (group may be 1): the stencil needs no
         # lcat/rcat inputs, so that path never DMAs them; the noconcat
@@ -646,6 +651,7 @@ def fista_tv_fused(
                 (group, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((B, H, W), x0hat_b.dtype),
+            compiler_params=comp_params,
             interpret=interpret,
         )(scal, tab, *factor_args, x0hat_b)
     return pl.pallas_call(
@@ -673,6 +679,7 @@ def fista_tv_fused(
             (1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, W), x0hat_b.dtype),
+        compiler_params=comp_params,
         interpret=interpret,
     )(scal, tab, lcat, rcat, x0hat_b)
 
@@ -768,28 +775,57 @@ def check_pgm_tv_fused(solver):
     return method
 
 
+def _vmem_model_pgm_tv(
+    H, W, gram: str = "stacked", im_h: int | None = None,
+    warm_tv: bool = False,
+):
+    """Working-set model in bytes: live set ≈ x, x_old, x0hat, momentum/
+    residual temps, 4 TV duals + 2 stacked concat temps (3×) + the two
+    Gram factor blocks. The stencil path carries no factor blocks and no
+    concat temps, but its loop carries + FGP duals + stencil temps still
+    measure ~18 planes (empirical: 384² and 256²-G2 compile, 512² and
+    256²-G4 OOM under the 16 MiB default limit). `H` is the total
+    (grouped) row extent; `im_h` the per-problem image height for the
+    factor-block terms (defaults to H)."""
+    fh = H if im_h is None else im_h
+    warm = 2 if warm_tv else 0  # the two dual carry planes survive the loop
+    if gram == "stencil":
+        return (18 + warm) * H * W * 4
+    return (
+        (12 + warm) * H * W + 2 * 3 * H * W + 3 * fh * fh + 3 * W * W
+    ) * 4
+
+
+def _vmem_gate_bytes():
+    """Acceptance gate for the fused path. Default 16 MiB — the Mosaic
+    scoped-VMEM default, under which all dispatch-eligible shapes were
+    chip-validated. RLS_TPU_VMEM_GATE_MIB overrides for A/B runs (v5e has
+    128 MiB of physical VMEM; the kernel passes an explicit
+    vmem_limit_bytes sized to its model, so shapes past 16 MiB compile —
+    but they dispatch only when the gate is raised deliberately)."""
+    import os
+
+    return int(os.environ.get("RLS_TPU_VMEM_GATE_MIB", "16")) * 1024 * 1024
+
+
+def _vmem_limit_pgm_tv(
+    H, W, gram: str = "stacked", im_h: int | None = None,
+    warm_tv: bool = False,
+):
+    """Explicit Mosaic vmem_limit_bytes: the model plus 2 planes of
+    in/out double-buffering plus 2 MiB slack, never below the 16 MiB
+    default (same calibration as admm_tv_tiled: the model undercounts
+    block double-buffering and Mosaic stack slack)."""
+    model = _vmem_model_pgm_tv(H, W, gram, im_h=im_h, warm_tv=warm_tv)
+    return max(16 * 1024 * 1024, model + 2 * H * W * 4 + 2 * 1024 * 1024)
+
+
 def _check_vmem_pgm_tv(
     H, W, gram: str = "stacked", im_h: int | None = None,
     warm_tv: bool = False,
 ):
-    # VMEM guard: live set ≈ x, x_old, x0hat, momentum/residual temps, 4 TV
-    # duals + 2 stacked concat temps (3×) + the two Gram factor blocks.
-    # The stencil path carries no factor blocks and no concat temps, but
-    # its loop carries + FGP duals + stencil temps still measure ~18
-    # planes (empirical: 384² and 256²-G2 compile, 512² and 256²-G4 OOM).
-    # `H` is the total (grouped) row extent; `im_h` the per-problem image
-    # height for the factor-block terms (defaults to H).
-    fh = H if im_h is None else im_h
-    warm = 2 if warm_tv else 0  # the two dual carry planes survive the loop
-    if gram == "stencil":
-        vmem_bytes = (18 + warm) * H * W * 4
-    else:
-        vmem_bytes = (
-            (12 + warm) * H * W + 2 * 3 * H * W + 3 * fh * fh + 3 * W * W
-        ) * 4
-    # 16 MiB: the TPU scoped-VMEM budget (verified empirically — the
-    # fused FISTA-TV kernel compiles at 384^2, Mosaic OOMs at 512^2)
-    if vmem_bytes > 16 * 1024 * 1024:
+    vmem_bytes = _vmem_model_pgm_tv(H, W, gram, im_h=im_h, warm_tv=warm_tv)
+    if vmem_bytes > _vmem_gate_bytes():
         raise ValueError(
             f"fused FISTA-TV working set ~{vmem_bytes/2**20:.0f} MiB exceeds "
             "VMEM; use the composed solve path"
