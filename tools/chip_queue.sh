@@ -45,8 +45,9 @@ run 11 jacobi_table 3000 python tools/jacobi_compile_table.py
 run 12 tpu_suite_census 7200 python tools/tpu_suite_report.py
 # distill the log into a committed artifact so the chip evidence
 # survives the round even if no one is at the keyboard
-python tools/chip_summary.py "$LOG" CHIP_RESULTS_r03.md \
-  && git add CHIP_RESULTS_r03.md TPU_SUITE_r03.md 2>/dev/null \
-  && git commit -q -m "Chip backlog results (auto-extracted from the queue log)" \
-  || true
+python tools/chip_summary.py "$LOG" CHIP_RESULTS_r04.md || true
+git add CHIP_RESULTS_r04.md 2>/dev/null || true
+git add TPU_SUITE_r04.md 2>/dev/null || true
+git add PARITY_r04.json 2>/dev/null || true
+git commit -q -m "Chip backlog results (auto-extracted from the queue log)" || true
 echo "chip queue complete — see $LOG"

@@ -2,7 +2,7 @@
 
 Real multi-chip hardware is not reachable from this environment, so this
 suite measures the two mesh-parallel paths on 1/2/4/8 VIRTUAL CPU devices
-(`--xla_force_host_platform_device_count`) and writes SCALING_r03.json:
+(`--xla_force_host_platform_device_count`) and writes SCALING_r04.json:
 
   * batch-sharded FISTA-TV (`solve_batched_sharded`) — problems over the
     "batch" axis; the only collective is the while-loop `any(active)`
@@ -154,7 +154,7 @@ def main():
         print(f"pgm_dense batch-sharded {nd}d: {Kd/dt:.1f} problems/s",
               file=sys.stderr)
 
-    out_path = os.path.join(REPO, "SCALING_r03.json")
+    out_path = os.path.join(REPO, "SCALING_r04.json")
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))

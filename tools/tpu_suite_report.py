@@ -1,4 +1,4 @@
-"""Run the full test suite on the real TPU chip and write TPU_SUITE_r03.md
+"""Run the full test suite on the real TPU chip and write TPU_SUITE_r04.md
 with a per-cause skip census (VERDICT r2 item 6).
 
 Skips are attributed by reason string:
@@ -34,7 +34,7 @@ def main():
     )
     out = proc.stdout
     # keep the full run log — the markdown is a summary, not the record
-    with open(os.path.join(REPO, ".tpu_suite_r03_full.log"), "w") as f:
+    with open(os.path.join(REPO, ".tpu_suite_r04_full.log"), "w") as f:
         f.write(out + "\n--- stderr ---\n" + proc.stderr)
     tail = out.strip().splitlines()[-1] if out.strip() else ""
     reasons = Counter()
@@ -90,7 +90,7 @@ def main():
         for f_ in failures:
             lines.append(f"- {f_}")
     md = "\n".join(lines) + "\n"
-    path = os.path.join(REPO, "TPU_SUITE_r03.md")
+    path = os.path.join(REPO, "TPU_SUITE_r04.md")
     with open(path, "w") as f:
         f.write(md)
     print(md)
