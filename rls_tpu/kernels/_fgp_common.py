@@ -107,7 +107,7 @@ def make_gram_normal_noconcat(l2, lh, r2, rh, dtype):
     return normal
 
 
-def make_split_dft(lfr, lfi, rfr, rfi, dtype):
+def make_split_dft(lfr, lfi, rfr, rfi, dtype, full4: bool = False):
     """Compensated split-real 2-D DFT sandwiches `(cfwd, cadj)`.
 
     `lfr/lfi` are the stacked `[hi hi lo]` left factors (H, 3H) of the
@@ -115,10 +115,41 @@ def make_split_dft(lfr, lfi, rfr, rfi, dtype):
     pre-stacked compensation layout of `ops/dft_real._dft_cat`. Mirrors
     `SubsampledDFT2RealOperator`'s forward/adjoint exactly (semantics of
     reference FFT ops; built split-real for the FFT-less TPU runtime).
+
+    ``full4`` adds the fourth lo·lo cross product (the 3-term form drops
+    it at ~2⁻¹⁶ relative per multiply — harmless in self-correcting
+    prox-gradient iterations, but long CG/Krylov chains amplify it; see
+    cgnr_fused._mm_comp and docs/tpu.md's 4-term rule). Cost: 4 unit
+    matmuls per multiply instead of 3.
     """
 
     H = lfr.shape[0]
     W = rfr.shape[1]
+    if jnp.dtype(dtype) == jnp.float64:
+        # f64 diagnostic path (interpret mode only): the hi/lo split is
+        # f32-specific, so reconstruct the exact f32 factors (hi + lo)
+        # and use plain matmuls — used to separate algorithm-semantics
+        # deviations from f32 rounding when chasing parity.
+        lfac = {"fr": (lfr[:, :H] + lfr[:, 2 * H:]).astype(dtype),
+                "fi": (lfi[:, :H] + lfi[:, 2 * H:]).astype(dtype)}
+        rfac = {"fr": (rfr[:W] + rfr[2 * W:]).astype(dtype),
+                "fi": (rfi[:W] + rfi[2 * W:]).astype(dtype)}
+
+        def cfwd64(ur, ui):
+            lr = lfac["fr"] @ ur - lfac["fi"] @ ui
+            li = lfac["fr"] @ ui + lfac["fi"] @ ur
+            kr = lr @ rfac["fr"] - li @ rfac["fi"]
+            ki = lr @ rfac["fi"] + li @ rfac["fr"]
+            return kr, ki
+
+        def cadj64(kr, ki):
+            lr = lfac["fr"] @ kr + lfac["fi"] @ ki
+            li = lfac["fr"] @ ki - lfac["fi"] @ kr
+            vr = lr @ rfac["fr"] + li @ rfac["fi"]
+            vi = li @ rfac["fr"] - lr @ rfac["fi"]
+            return vr, vi
+
+        return cfwd64, cadj64
     # concat-free compensation (see make_gram_normal_noconcat): derive the
     # output-stacked [hi; lo] and hi-only factors once, per DFT component
     lf = {}
@@ -138,6 +169,9 @@ def make_split_dft(lfr, lfi, rfr, rfi, dtype):
         l2, lh = l2_lh
         uh, ul = split_bf16(u)
         m2 = jnp.dot(l2, uh, preferred_element_type=dtype)
+        if full4:
+            c2 = jnp.dot(l2, ul, preferred_element_type=dtype)
+            return m2[:H] + m2[H:] + c2[:H] + c2[H:]
         corr = jnp.dot(lh, ul, preferred_element_type=dtype)
         return m2[:H] + m2[H:] + corr
 
@@ -145,6 +179,9 @@ def make_split_dft(lfr, lfi, rfr, rfi, dtype):
         r2, rh = r2_rh
         uh, ul = split_bf16(u)
         m2 = jnp.dot(uh, r2, preferred_element_type=dtype)
+        if full4:
+            c2 = jnp.dot(ul, r2, preferred_element_type=dtype)
+            return m2[:, :W] + m2[:, W:] + c2[:, :W] + c2[:, W:]
         corr = jnp.dot(ul, rh, preferred_element_type=dtype)
         return m2[:, :W] + m2[:, W:] + corr
 

@@ -75,8 +75,14 @@ def _kernel(
     H, W = x0r.shape
     f32 = x0r.dtype
 
+    # full 4-term compensation: this kernel chains iterations ×
+    # iterations_inner × cg_iterations (≈256) CG steps on this matvec,
+    # and the 3-term form's dropped lo·lo (~2⁻¹⁶/multiply) accumulates
+    # to ~1e-4 trajectory error vs f64 (docs/tpu.md 4-term rule;
+    # measured: parity_suite splitbregman_sense128 1.01e-4 → see r4).
     cfwd, cadj = make_split_dft(
-        lfr_ref[...], lfi_ref[...], rfr_ref[...], rfi_ref[...], f32
+        lfr_ref[...], lfi_ref[...], rfr_ref[...], rfi_ref[...], f32,
+        full4=True,
     )
     normal = make_sense_normal(cfwd, cadj, mask, cr_ref, ci_ref, n_coils)
     _, fgp_n = make_tv_fgp(H, W, f32)
@@ -345,8 +351,23 @@ def solve_splitbregman_l1_tv_fused(solver, B_mat, interpret: bool | None = None)
 
     B_mat = jnp.asarray(B_mat)
     bt = B_mat.T
-    x0 = jax.vmap(op.rmv)(bt)  # (K, 2n) split [re; im]
-    x0hat_b = x0.reshape(-1, 2, H, W)
+    # x0 = Aᴴb with the same FULL 4-term compensation the kernel uses —
+    # a 3-term op.rmv here would seed the whole Bregman data term with
+    # the dropped-lo·lo error (~2⁻¹⁶) that the kernel then amplifies.
+    cfwd4, cadj4 = make_split_dft(
+        op.cat["l_fr"], op.cat["l_fi"], op.cat["r_fr"], op.cat["r_fi"],
+        jnp.float32, full4=True,
+    )
+    C = op.coils_r.shape[0]
+
+    def _rmv4(y):
+        k = y.reshape(C, 2, H, W)
+        ur, ui = jax.vmap(cadj4)(k[:, 0] * op.mask, k[:, 1] * op.mask)
+        xr = jnp.sum(op.coils_r * ur + op.coils_i * ui, axis=0)
+        xi = jnp.sum(op.coils_r * ui - op.coils_i * ur, axis=0)
+        return jnp.stack([xr, xi])
+
+    x0hat_b = jax.vmap(_rmv4)(bt)  # (K, 2, H, W) split [re; im]
     scale = jax.vmap(
         lambda b: normalization_factor(solver.normalize_reg, solver.A, b)
     )(bt)

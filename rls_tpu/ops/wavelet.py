@@ -64,6 +64,54 @@ WAVELET_FILTERS: dict[str, tuple[float, ...]] = {
         0.032883011666982945,
         -0.010597401784997278,
     ),
+    # Longer families used by the reference docs' Wavelets.jl workflow
+    # (wavelet(WT.db6) etc. in docs/src/literate/explanations/
+    # regularization.jl). Tap tables in the same h0-first orientation as
+    # db4 above; all verified to satisfy Σh = √2, ‖h‖ = 1 and
+    # Σ_j h[j]h[j+2k] = δ_k to <1e-12 (tests/test_operators.py).
+    "db6": (
+        0.11154074335008017,
+        0.4946238903983854,
+        0.7511339080215775,
+        0.3152503517092432,
+        -0.22626469396516913,
+        -0.12976686756709563,
+        0.09750160558707936,
+        0.02752286553001629,
+        -0.031582039318031156,
+        0.0005538422009938016,
+        0.004777257511010651,
+        -0.001077301085308479,
+    ),
+    "db8": (
+        0.05441584224308161,
+        0.31287159091446592,
+        0.67563073629801285,
+        0.58535468365486909,
+        -0.01582910525602,
+        -0.28401554296242809,
+        0.00047248457399797254,
+        0.128747426620186,
+        -0.01736930100202211,
+        -0.044088253931064719,
+        0.013981027917015516,
+        0.0087460940470156547,
+        -0.0048703529930106603,
+        -0.00039174037299597711,
+        0.00067544940599855677,
+        -0.00011747678400228192,
+    ),
+    # Symlet-4: Daubechies-4 moments with near-linear phase.
+    "sym4": (
+        0.0322231006040427,
+        -0.012603967262037833,
+        -0.09921954357684722,
+        0.29785779560527736,
+        0.8037387518059161,
+        0.49761866763201545,
+        -0.02963552764599851,
+        -0.07576571478927333,
+    ),
 }
 WAVELET_FILTERS["db1"] = WAVELET_FILTERS["haar"]
 

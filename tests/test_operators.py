@@ -303,7 +303,21 @@ def test_dense_operator_compensated(rng):
 # --------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("wavelet", ["haar", "db2", "db4"])
+def test_wavelet_filter_tables_orthonormal():
+    """Every shipped tap table must satisfy the orthonormal-QMF
+    conditions exactly: Σh = √2, ‖h‖² = 1, Σ_j h[j]h[j+2k] = 0."""
+    from rls_tpu.ops.wavelet import WAVELET_FILTERS
+
+    for name, h in WAVELET_FILTERS.items():
+        h = np.asarray(h, np.float64)
+        assert abs(h.sum() - np.sqrt(2.0)) < 1e-10, name
+        assert abs((h * h).sum() - 1.0) < 1e-10, name
+        for k in range(1, len(h) // 2):
+            assert abs((h[: -2 * k] * h[2 * k:]).sum()) < 1e-10, (name, k)
+
+
+@pytest.mark.parametrize(
+    "wavelet", ["haar", "db2", "db4", "db6", "db8", "sym4"])
 @pytest.mark.parametrize("shape", [(64,), (16, 32)])
 def test_wavelet_perfect_reconstruction(rng, wavelet, shape):
     op = rt.WaveletOperator(shape, wavelet=wavelet)
