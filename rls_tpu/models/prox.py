@@ -26,6 +26,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .._pytree import pytree_dataclass, static_field
@@ -415,15 +416,38 @@ class LLRRegularization(ParameterizedRegularization):
         return out.reshape(x.shape)
 
     def value(self, x, lam=None):
+        """Σλ‖block‖_* over *full* blocks only: the reference's
+        blockNuclearNorm (ProxLLR.jl:115-152) circshifts by the seeded
+        randshift, then counts L = floor(prod(shape)/prod(block)) blocks
+        — trailing partial blocks of non-dividing shapes never enter the
+        norm. We zero-pad for a rectangular batched SVD (zero rows leave
+        singular values unchanged) and mask the partial blocks out of
+        the sum. The shift uses the same pure seed derivation as prox
+        (documented deviation from Julia's global srand(1234))."""
         lam = self.lam if lam is None else lam
         nvox = math.prod(self.shape)
         K = x.size // (nvox * self.L)
+        nd = len(self.shape)
+        # mask over block indices: 1 where the block lies fully inside
+        # the original shape (i.e. not a zero-padded trailing block)
+        nblk = [-(-self.shape[d] // self.block_size[d]) for d in range(nd)]
+        full = np.zeros(nblk, np.float32)
+        full[tuple(slice(0, self.shape[d] // self.block_size[d])
+                   for d in range(nd))] = 1.0
+        full = jnp.asarray(full.reshape(-1))
         total = 0.0
         for i in range(self.L):
             chunk = x[i * nvox * K : (i + 1) * nvox * K].reshape(*self.shape, K)
+            if self.randshift:
+                key = jax.random.PRNGKey(self.seed)
+                shifts = [
+                    jax.random.randint(jax.random.fold_in(key, d), (), 0, b)
+                    for d, b in enumerate(self.block_size)
+                ]
+                chunk = jnp.roll(chunk, shifts, axis=tuple(range(nd)))
             blocks, _ = _block_partition(chunk, self.block_size)
             s = _svdvals(blocks, self.svd_method)
-            total = total + jnp.sum(s)
+            total = total + jnp.sum(full[:, None] * s)
         return lam * total
 
 

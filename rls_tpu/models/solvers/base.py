@@ -238,7 +238,15 @@ def pcg(
 def solve(solver: LinearSolver, b, x0=None):
     """Full solve under one jittable computation: init → while(¬done) step →
     finalize → solution. Mirrors `solve!` (reference
-    RegularizedLeastSquares.jl:103-117) without callbacks."""
+    RegularizedLeastSquares.jl:103-117) without callbacks.
+
+    A matrix ``b`` (m × K) dispatches to :func:`solve_batched` — the
+    reference routes `solve!(solver, B::AbstractMatrix)` through the
+    same entry point via its scheduler layer
+    (/root/reference/src/MultiThreading.jl:30-43)."""
+    b = jnp.asarray(b)
+    if b.ndim == 2:
+        return solve_batched(solver, b, x0)
     state = solver.init(b, x0)
     state = lax.while_loop(
         lambda s: jnp.logical_not(solver.done(s)), solver.step, state

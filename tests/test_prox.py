@@ -147,6 +147,48 @@ def test_llr_prox_denoises(rng, randshift):
     _denoise_improves(reg, jnp.asarray(clean), jnp.asarray(noisy))
 
 
+def test_llr_value_skips_partial_blocks(rng):
+    """Reference blockNuclearNorm counts only L = floor(N/prod(block))
+    FULL blocks (ProxLLR.jl:115-152) — trailing partial blocks of a
+    non-dividing shape must not contribute to value()."""
+    n, K = 7, 3  # 7 not divisible by 3 → one partial block per axis
+    x = rng.normal(size=(n, n, K)).astype(np.float32).reshape(-1)
+    reg = rt.LLRRegularization(
+        0.5, shape=(n, n), block_size=(3, 3), randshift=False
+    )
+    got = float(reg.value(jnp.asarray(x)))
+    # brute force: nuclear norms of the 2x2 full blocks only
+    img = x.reshape(n, n, K)
+    want = 0.0
+    for i in range(n // 3):
+        for j in range(n // 3):
+            blk = img[3 * i : 3 * i + 3, 3 * j : 3 * j + 3].reshape(9, K)
+            want += np.linalg.svd(blk, compute_uv=False).sum()
+    np.testing.assert_allclose(got, 0.5 * want, rtol=2e-5)
+
+
+def test_llr_value_randshift_matches_prox_partition(rng):
+    """value() with randshift must measure the SAME shifted partition
+    the prox thresholds: for a dividing shape, value(randshift=True)
+    equals the brute-force nuclear norm over the shifted blocks."""
+    n, K = 8, 3
+    x = rng.normal(size=(n, n, K)).astype(np.float32).reshape(-1)
+    reg = rt.LLRRegularization(
+        1.0, shape=(n, n), block_size=(4, 4), randshift=True
+    )
+    got = float(reg.value(jnp.asarray(x)))
+    key = jax.random.PRNGKey(reg.seed)
+    shifts = [int(jax.random.randint(jax.random.fold_in(key, d), (), 0, 4))
+              for d in range(2)]
+    img = np.roll(x.reshape(n, n, K), shifts, axis=(0, 1))
+    want = 0.0
+    for i in range(2):
+        for j in range(2):
+            blk = img[4 * i : 4 * i + 4, 4 * j : 4 * j + 4].reshape(16, K)
+            want += np.linalg.svd(blk, compute_uv=False).sum()
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
 def test_llr_overlapping(rng):
     n, K = 8, 4
     base = rng.normal(size=(n, n, 1)).astype(np.float32)

@@ -63,6 +63,29 @@ def test_recover_tiny_system(rng, name, complex_):
     assert err < 0.1, f"{name}: {err}"
 
 
+def test_solve_matrix_b_dispatches_to_batched(rng):
+    """`solve(solver, B)` with a matrix B must route through the
+    multi-RHS scheduler, column-per-problem with an hcat-shaped result —
+    the reference's `solve!(solver, B::AbstractMatrix)` dispatch
+    (/root/reference/src/MultiThreading.jl:30-43, :82)."""
+    from rls_tpu.models.solvers import solve_batched
+
+    A, _, b = _tiny_problem(rng)
+    B = jnp.stack([b, 2.0 * b, -b], axis=1)
+    s = rt.create_linear_solver(
+        "CGNR", A, reg=rt.L2Regularization(1e-4), iterations=50,
+        kwarg_warning=False,
+    )
+    X = solve(s, B)
+    assert X.shape == (A.shape[1], 3)
+    np.testing.assert_allclose(
+        np.asarray(X), np.asarray(solve_batched(s, B)), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(X[:, 0]), np.asarray(solve(s, b)), rtol=1e-5
+    )
+
+
 @pytest.mark.parametrize("name", ["CGNR", "FISTA", "OptISTA", "POGM", "ADMM"])
 def test_aha_only_construction(rng, name):
     """Solvers built from the normal operator alone (testSolvers.jl:45-65):
