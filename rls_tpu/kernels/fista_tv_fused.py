@@ -815,9 +815,15 @@ def _vmem_limit_pgm_tv(
     """Explicit Mosaic vmem_limit_bytes: the model plus 2 planes of
     in/out double-buffering plus 2 MiB slack, never below the 16 MiB
     default (same calibration as admm_tv_tiled: the model undercounts
-    block double-buffering and Mosaic stack slack)."""
+    block double-buffering and Mosaic stack slack). The stacked/noconcat
+    paths also DMA the lcat (H×3H) / rcat (3W×W) factor blocks, which
+    Mosaic may double-buffer too — count one extra copy of each."""
     model = _vmem_model_pgm_tv(H, W, gram, im_h=im_h, warm_tv=warm_tv)
-    return max(16 * 1024 * 1024, model + 2 * H * W * 4 + 2 * 1024 * 1024)
+    slack = 2 * H * W * 4 + 2 * 1024 * 1024
+    if gram != "stencil":
+        fh = H if im_h is None else im_h
+        slack += (3 * fh * fh + 3 * W * W) * 4
+    return max(16 * 1024 * 1024, model + slack)
 
 
 def _check_vmem_pgm_tv(

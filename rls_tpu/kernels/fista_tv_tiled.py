@@ -618,6 +618,33 @@ def pick_tile_rows_vmem(
     return best
 
 
+def _vmem_limit_tiled(
+    H: int, W: int, TR: int, halo: int, mode: str,
+    method: str = "fista", dynamic: bool = False,
+):
+    """Explicit Mosaic vmem_limit_bytes for the tiled kernels — the same
+    calibration as admm_tv_tiled / _vmem_limit_pgm_tv (ADVICE r3): the
+    pickers' 14 MiB working-set model undercounts in/out block
+    double-buffering and Mosaic stack slack, so gate-raised A/B runs at
+    large shapes could still OOM at the 16 MiB Mosaic default. Model +
+    2 extra copies of the largest streamed block + 2 MiB, floored at the
+    16 MiB default."""
+    trh = TR + 2 * halo
+    if mode == "vmem":
+        if method == "fista":
+            planes = 5
+        elif dynamic:
+            planes = 10
+        else:
+            planes = 8
+        model = planes * H * W * 4 + 12 * trh * W * 4
+        slack = 2 * H * W * 4
+    else:  # hbm-streamed: scratch windows are tile-sized, out block TR×W
+        model = 19 * trh * W * 4
+        slack = 2 * TR * W * 4
+    return max(16 * 1024 * 1024, model + slack + 2 * 1024 * 1024)
+
+
 def pick_tile_rows(H: int, W: int, halo: int, vmem_budget: int | None = None):
     """Largest 8-multiple divisor of H whose ~19-plane working set fits
     the scoped-VMEM budget (planes: 4 compute + 3 prefetch scratch
@@ -773,6 +800,11 @@ def fista_tv_tiled(
             ),
             out_shape=jax.ShapeDtypeStruct((P, H, W), x0hat_b.dtype),
             scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_vmem_limit_tiled(
+                    H, W, TR, halo, "vmem", method=method, dynamic=dynamic
+                )
+            ),
             interpret=interpret,
         )(scal, tab, x0hat_b)
 
@@ -830,6 +862,9 @@ def fista_tv_tiled(
             pltpu.VMEM((TRH, W), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_tiled(H, W, TR, halo, "hbm")
+        ),
         interpret=interpret,
     )(scal, tab, x0_pad)
     return sol

@@ -1,11 +1,17 @@
 """Direct solvers: regularized normal-equation solve and SVD pseudoinverse.
 
 Behavioral port of /root/reference/src/Direct.jl:
-  * DirectSolver — solves (AᴴA + λI)x = Aᴴb by dense factorization
-    (reference uses `lu`; here `jnp.linalg.solve`, which lowers to batched
-    LU on TPU).
+  * DirectSolver — solves (AᴴA + λI)x = Aᴴb (reference uses `lu`,
+    Direct.jl:101-133). On bf16-matmul TPUs both the Gram build and a
+    blocked LU ride the MXU and cap at ~2e-3 accuracy, so for real-f32
+    inputs the solve is dispatched through the VPU-resident one-sided
+    Jacobi SVD instead (x = V·S/(S²+λ)·Uᴴb — identical to the
+    regularized normal solve in exact arithmetic) and holds ~1e-5;
+    `svd_method="lu"` forces the factorization path.
   * PseudoInverse — Tikhonov-filtered SVD pinv: x = V · diag(S/(S²+λ)) · Uᴴ b
-    with the SVD precomputed at construction (Direct.jl:135-139,152-169).
+    with the SVD precomputed at construction (Direct.jl:135-139,152-169),
+    same Jacobi dispatch (gate: models/prox._use_jacobi, measured in
+    tools/jacobi_compile_table.py → docs/tpu.md).
 """
 
 from __future__ import annotations
@@ -16,7 +22,7 @@ import jax.numpy as jnp
 
 from ..._pytree import pytree_dataclass, replace, static_field
 from ...ops.base import LinearOperator, as_operator
-from ..prox import L2Regularization
+from ..prox import L2Regularization, _use_jacobi
 from ..regularization import NoNormalization, find_sink, normalization_factor
 from .base import LinearSolver, split_projection_terms
 
@@ -43,6 +49,28 @@ def _split_l2(reg):
     return l2, proj
 
 
+def _thin_svd(Ad, method: str = "auto"):
+    """Thin SVD with the same accuracy dispatch as the nuclear/LLR proxes:
+    one-sided Jacobi (f32-exact column rotations on the VPU) where it
+    applies, XLA's SVD otherwise. Handles m < n by factoring Aᵀ."""
+    if _use_jacobi(Ad, method):
+        from ...ops.jacobi_svd import jacobi_svd
+
+        if Ad.shape[-2] < Ad.shape[-1]:
+            # A = (Aᵀ)ᵀ = (U' S V'ᵀ)ᵀ → U = V', Vᴴ = U'ᵀ
+            u, s, vt = jacobi_svd(jnp.swapaxes(Ad, -1, -2))
+            return jnp.swapaxes(vt, -1, -2), s, jnp.swapaxes(u, -1, -2)
+        return jacobi_svd(Ad)
+    return jnp.linalg.svd(Ad, full_matrices=False)
+
+
+def _tikhonov_apply(U, S, Vh, lam, b):
+    """x = V · S/(S²+λ) · Uᴴ b (Direct.jl:158)."""
+    D = S / (S**2 + lam)
+    tmp = U.conj().T @ b
+    return Vh.conj().T @ (D.astype(tmp.dtype) * tmp)
+
+
 @pytree_dataclass
 class DirectState:
     x: Any
@@ -57,12 +85,23 @@ class DirectSolver(LinearSolver):
     l2: Any
     proj: Tuple = ()
     normalize_reg: Any = NoNormalization()
+    U: Any = None
+    S: Any = None
+    Vh: Any = None
     iterations: int = static_field(default=1)
 
     @classmethod
-    def create(cls, A, reg=None, normalize_reg=NoNormalization(), **_):
+    def create(cls, A, reg=None, normalize_reg=NoNormalization(),
+               svd_method: str = "auto", **_):
         l2, proj = _split_l2(reg)
-        return cls(A=as_operator(A), l2=l2, proj=proj, normalize_reg=normalize_reg)
+        op = as_operator(A)
+        U = S = Vh = None
+        if svd_method != "lu":
+            Ad = op.to_dense()
+            if _use_jacobi(Ad, svd_method):
+                U, S, Vh = _thin_svd(Ad, svd_method)
+        return cls(A=op, l2=l2, proj=proj, normalize_reg=normalize_reg,
+                   U=U, S=S, Vh=Vh)
 
     def init(self, b, x0=None) -> DirectState:
         b = jnp.asarray(b)
@@ -77,10 +116,17 @@ class DirectSolver(LinearSolver):
         return DirectState(x=x, b=b, lam=lam, iteration=jnp.asarray(0, jnp.int32))
 
     def step(self, state: DirectState) -> DirectState:
-        Ad = self.A.to_dense()
-        n = Ad.shape[1]
-        gram = Ad.conj().T @ Ad + state.lam.astype(Ad.dtype) * jnp.eye(n, dtype=Ad.dtype)
-        x = jnp.linalg.solve(gram, Ad.conj().T @ state.b)
+        if self.U is not None:
+            # Jacobi-SVD route: ≡ (AᴴA+λI)⁻¹Aᴴb in exact arithmetic,
+            # ~1e-5 on the bf16-MXU runtime (vs ~2e-3 for Gram+LU)
+            x = _tikhonov_apply(self.U, self.S, self.Vh, state.lam, state.b)
+        else:
+            Ad = self.A.to_dense()
+            n = Ad.shape[1]
+            gram = Ad.conj().T @ Ad + state.lam.astype(Ad.dtype) * jnp.eye(
+                n, dtype=Ad.dtype
+            )
+            x = jnp.linalg.solve(gram, Ad.conj().T @ state.b)
         for p in self.proj:
             x = p.prox(x)
         return replace(state, x=x, iteration=state.iteration + 1)
@@ -103,10 +149,11 @@ class PseudoInverse(LinearSolver):
     iterations: int = static_field(default=1)
 
     @classmethod
-    def create(cls, A, reg=None, normalize_reg=NoNormalization(), **_):
+    def create(cls, A, reg=None, normalize_reg=NoNormalization(),
+               svd_method: str = "auto", **_):
         l2, proj = _split_l2(reg)
         Ad = as_operator(A).to_dense()
-        U, S, Vh = jnp.linalg.svd(Ad, full_matrices=False)
+        U, S, Vh = _thin_svd(Ad, svd_method)
         return cls(U=U, S=S, Vh=Vh, l2=l2, proj=proj, normalize_reg=normalize_reg)
 
     def init(self, b, x0=None) -> DirectState:
@@ -118,10 +165,7 @@ class PseudoInverse(LinearSolver):
         return DirectState(x=x, b=b, lam=lam, iteration=jnp.asarray(0, jnp.int32))
 
     def step(self, state: DirectState) -> DirectState:
-        # Tikhonov-filtered singular values D = S/(S²+λ) (Direct.jl:158)
-        D = self.S / (self.S**2 + state.lam)
-        tmp = self.U.conj().T @ state.b
-        x = self.Vh.conj().T @ (D.astype(tmp.dtype) * tmp)
+        x = _tikhonov_apply(self.U, self.S, self.Vh, state.lam, state.b)
         for p in self.proj:
             x = p.prox(x)
         return replace(state, x=x, iteration=state.iteration + 1)

@@ -257,6 +257,17 @@ def run_mode(mode: str, out_path: str):
     sols["kaczmarz_rand_pos_tall"] = {"x": x5, "b": np.asarray(b5),
                                       "op": "dense5"}
 
+    # ---- 6. direct solvers (Jacobi-SVD Tikhonov pinv) -----------------------
+    # chip rides the one-sided Jacobi route (direct.py dispatch); cpu64
+    # is XLA's f64 SVD — both solve (AᴴA+λI)x = Aᴴb exactly, so the
+    # metric isolates the chip SVD's accuracy (VERDICT r3 item 7).
+    s6 = rt.PseudoInverse.create(
+        rt.DenseOperator(J(d["A1"])), reg=rt.L2Regularization(1e-4))
+    b6 = J(d["A1"] @ d["x1"])
+    x6 = np.asarray(jax.jit(lambda b: solve(s6, b))(b6))
+    sols["pinv_tikhonov_dense64"] = {"x": x6, "b": np.asarray(b6),
+                                     "op": "dense1"}
+
     np.savez(out_path, **{
         f"{k}__{f}": v for k, s in sols.items() for f, v in s.items()
         if f != "op"
@@ -267,7 +278,7 @@ def run_mode(mode: str, out_path: str):
 def residual_norm(name, x, b):
     """‖Ax − b‖ in f64 using numpy-rebuilt operators (mode-independent)."""
     d = build_data()
-    if name == "cgnr_l2_dense64":
+    if name in ("cgnr_l2_dense64", "pinv_tikhonov_dense64"):
         return np.linalg.norm(d["A1"] @ x - b)
     if name == "cgnr_l2_dense64_illcond":
         return np.linalg.norm(d["A1i"] @ x - b)

@@ -239,6 +239,27 @@ def main():
     print(f"wavelet_roundtrip: rel_err={dev_err:.2e}", file=sys.stderr)
     assert dev_err < 1e-5, "orthogonal DWT must reconstruct on chip"
 
+    # direct solvers on chip: the Jacobi-SVD route must hit 1e-4 vs the
+    # f64 regularized normal solve (XLA SVD/LU cap at ~2e-3 on bf16 MXU)
+    from rls_tpu.models.solvers import solve as _solve
+
+    Adir = jnp.asarray(rng.normal(size=(96, 64)).astype(np.float32) / 8)
+    xdir = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    bdir = Adir @ xdir
+    lam_d = 1e-3
+    A64 = np.asarray(Adir, np.float64)
+    want = np.linalg.solve(
+        A64.T @ A64 + lam_d * np.eye(64), A64.T @ np.asarray(bdir, np.float64)
+    )
+    for tag, cls in [("direct_jacobi", rt.DirectSolver),
+                     ("pinv_jacobi", rt.PseudoInverse)]:
+        s_d = cls.create(Adir, reg=rt.L2Regularization(lam_d))
+        got = np.asarray(jax.jit(lambda b, s=s_d: _solve(s, b))(bdir))
+        dev_err = float(np.linalg.norm(got - want) / np.linalg.norm(want))
+        results[tag] = (np.isfinite(got).all(), dev_err)
+        print(f"{tag}: vs_f64={dev_err:.2e}", file=sys.stderr)
+        assert dev_err < 1e-4, f"{tag} must hold 1e-4 vs f64 on chip"
+
     bad = [k for k, (ok, err) in results.items() if not ok or err > 0.9]
     print("SMOKE", "PASS" if not bad else f"FAIL {bad}")
     return 0 if not bad else 1
