@@ -31,6 +31,11 @@ from .models.regularization import (
     TransformedRegularization,
 )
 from .models.regularization import find_sinks, reg_chain, sink, sink_type
+from .models.split_real import (
+    SplitRealSolver,
+    backend_supports_complex,
+    build_split_real_solver,
+)
 from .callbacks import (
     CompareSolutionCallback,
     StoreConvergenceCallback,

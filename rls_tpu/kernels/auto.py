@@ -64,7 +64,19 @@ def solve_batched_fast(solver, B, interpret=None, warn=True):
     Tries each fused kernel's check; runs the first that applies. Falls
     back to `solve_batched_unrolled` with a `UserWarning` naming why every
     fused path was rejected (pass ``warn=False`` to silence).
+
+    A `SplitRealSolver` (the auto twin of a complex problem on
+    complex-free runtimes, models/split_real.py) embeds B host-side,
+    dispatches its REAL twin through the same fast-path table, and
+    returns numpy complex64.
     """
+    from ..models.split_real import SplitRealSolver
+
+    if isinstance(solver, SplitRealSolver):
+        xs = solve_batched_fast(
+            solver.inner, solver.embed_b(B), interpret=interpret, warn=warn
+        )
+        return solver.assemble(xs)
     reasons = []
     for name, check, run in _FUSED_WRAPPERS:
         try:

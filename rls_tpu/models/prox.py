@@ -165,12 +165,54 @@ def prox_tv_fgp(x, lam, grad_op: GradientOperator, iterations: int, unroll=False
     return x - lam * G.rmv(pq)
 
 
+def prox_tv_fgp_pair(x2, lam, grad_op: GradientOperator, iterations: int,
+                     unroll=False):
+    """FGP TV prox on a (2, n) REAL plane pair [re; im] with the dual
+    projection coupled across planes — the exact split-real twin of the
+    complex FGP: every recurrence is linear except the projection, whose
+    complex modulus |p| becomes √(p_re² + p_im²). Trajectories coincide
+    step-for-step with `prox_tv_fgp` on the complex array."""
+    rdt = _real_dtype(x2.dtype)
+    lam = jnp.asarray(lam, rdt)
+    lam_safe = jnp.where(lam > 0, lam, 1.0)
+    G = grad_op
+    vmv = jax.vmap(G.mv)
+    vrmv = jax.vmap(G.rmv)
+
+    pq0 = jnp.zeros((2, G.out_size), x2.dtype)
+
+    def body(_, carry):
+        pq_old, rs, t = carry
+        xtmp = x2 - lam * vrmv(rs)
+        pq = rs + vmv(xtmp) / (8.0 * lam_safe)
+        mod = jnp.sqrt(jnp.sum(pq * pq, axis=0, keepdims=True))
+        pq = pq / jnp.maximum(1.0, mod)
+        t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) / 2.0
+        t2 = (t - 1.0) / t_new
+        rs_new = (1.0 + t2) * pq - t2 * pq_old
+        return (pq, rs_new, t_new)
+
+    carry = (pq0, pq0, jnp.asarray(1.0, rdt))
+    if unroll:
+        for i in range(iterations):
+            carry = body(i, carry)
+        pq = carry[0]
+    else:
+        pq, _, _ = lax.fori_loop(0, iterations, body, carry)
+    return x2 - lam * vrmv(pq)
+
+
 @pytree_dataclass
 class TVRegularization(ParameterizedRegularization):
     """TV prox: exact 1-D Condat when `dims` is a single int (reference
     ProxTV.jl:64-79), FGP dual iteration otherwise (:89-125).
 
-    `dims` uses 0-based axes (the reference is 1-based Julia)."""
+    `dims` uses 0-based axes (the reference is 1-based Julia).
+
+    ``pair_planes=True`` treats the input as TWO stacked real planes
+    [re; im] of a complex image and couples the FGP dual projection
+    across them — the exact split-real twin of the complex TV prox for
+    runtimes without complex dtypes (models/split_real.py)."""
 
     lam: Any
     shape: tuple = static_field(default=None)
@@ -178,6 +220,7 @@ class TVRegularization(ParameterizedRegularization):
     iterations_tv: int = static_field(default=10)
     unroll: bool = static_field(default=False)
     backend: str = static_field(default="xla")  # "xla" | "pallas"
+    pair_planes: bool = static_field(default=False)
 
     def __post_init__(self):
         if self.shape is not None:
@@ -192,6 +235,13 @@ class TVRegularization(ParameterizedRegularization):
     def prox(self, x, lam=None):
         lam = self.lam if lam is None else lam
         is_complex = jnp.issubdtype(x.dtype, jnp.complexfloating)
+        if self.pair_planes:
+            n = math.prod(self.shape)
+            out = prox_tv_fgp_pair(
+                x.reshape(2, n), lam, self._grad_op(x.dtype),
+                self.iterations_tv, self.unroll,
+            )
+            return out.reshape(x.shape)
         if isinstance(self.dims, int) and not is_complex:
             img = x.reshape(self.shape)
             return prox_tv_1d_axis(img, lam, self.dims).reshape(x.shape)
@@ -217,6 +267,10 @@ class TVRegularization(ParameterizedRegularization):
 
     def value(self, x, lam=None):
         lam = self.lam if lam is None else lam
+        if self.pair_planes:
+            n = math.prod(self.shape)
+            g = jax.vmap(self._grad_op(x.dtype).mv)(x.reshape(2, n))
+            return lam * jnp.sum(jnp.sqrt(jnp.sum(g * g, axis=0)))
         g = self._grad_op(x.dtype).mv(x.reshape(-1))
         return lam * jnp.sum(jnp.abs(g))
 

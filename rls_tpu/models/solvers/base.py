@@ -235,6 +235,14 @@ def pcg(
 # --------------------------------------------------------------------------
 
 
+def _as_split_real(solver):
+    """Return the SplitRealSolver view of `solver`, or None. Lazy import:
+    split_real imports prox which imports this module's package."""
+    from ..split_real import SplitRealSolver
+
+    return solver if isinstance(solver, SplitRealSolver) else None
+
+
 def solve(solver: LinearSolver, b, x0=None):
     """Full solve under one jittable computation: init → while(¬done) step →
     finalize → solution. Mirrors `solve!` (reference
@@ -243,7 +251,19 @@ def solve(solver: LinearSolver, b, x0=None):
     A matrix ``b`` (m × K) dispatches to :func:`solve_batched` — the
     reference routes `solve!(solver, B::AbstractMatrix)` through the
     same entry point via its scheduler layer
-    (/root/reference/src/MultiThreading.jl:30-43)."""
+    (/root/reference/src/MultiThreading.jl:30-43).
+
+    A :class:`~rls_tpu.models.split_real.SplitRealSolver` (the auto twin
+    of a complex problem on complex-free runtimes) embeds ``b``
+    host-side, solves the real twin, and returns numpy complex64."""
+    sr = _as_split_real(solver)
+    if sr is not None:
+        if x0 is None:
+            xs = jax.jit(lambda bb: solve(sr.inner, bb))(sr.embed_b(b))
+        else:
+            xs = jax.jit(lambda bb, xx: solve(sr.inner, bb, xx))(
+                sr.embed_b(b), sr.embed_b(x0))
+        return sr.assemble(xs)
     b = jnp.asarray(b)
     if b.ndim == 2:
         return solve_batched(solver, b, x0)
@@ -298,6 +318,15 @@ def solve_unrolled(solver: LinearSolver, b, x0=None):
     unrolling lets XLA fuse across iterations. No early convergence exit —
     runs exactly `solver.iterations` steps (the prox must also be
     control-flow free, e.g. TVRegularization(unroll=True))."""
+    sr = _as_split_real(solver)
+    if sr is not None:
+        if x0 is None:
+            xs = jax.jit(lambda bb: solve_unrolled(sr.inner, bb))(
+                sr.embed_b(b))
+        else:
+            xs = jax.jit(lambda bb, xx: solve_unrolled(sr.inner, bb, xx))(
+                sr.embed_b(b), sr.embed_b(x0))
+        return sr.assemble(xs)
     state = solver.init(b, x0)
     for _ in range(solver.total_steps):
         state = solver.step(state)
@@ -307,6 +336,12 @@ def solve_unrolled(solver: LinearSolver, b, x0=None):
 
 def solve_batched_unrolled(solver: LinearSolver, B, x0=None):
     """vmapped `solve_unrolled` over the columns of B; returns n × K."""
+    sr = _as_split_real(solver)
+    if sr is not None:
+        x0e = None if x0 is None else sr.embed_b(x0)
+        xs = jax.jit(lambda BB: solve_batched_unrolled(sr.inner, BB, x0e))(
+            sr.embed_b(B))
+        return sr.assemble(xs)
     B = jnp.asarray(B)
     if x0 is None:
         fn = lambda col: solve_unrolled(solver, col)
@@ -380,6 +415,12 @@ def solve_batched(solver: LinearSolver, B, x0=None):
     (/root/reference/src/MultiThreading.jl:52-78): every still-active problem
     advances one iteration per outer step; finished problems are frozen via
     masked updates. Returns an n × K matrix (reference hcat gather)."""
+    sr = _as_split_real(solver)
+    if sr is not None:
+        x0e = None if x0 is None else sr.embed_b(x0)
+        xs = jax.jit(lambda BB: solve_batched(sr.inner, BB, x0e))(
+            sr.embed_b(B))
+        return sr.assemble(xs)
     B = jnp.asarray(B)
     K = B.shape[1]
 

@@ -15,6 +15,9 @@ import inspect
 import warnings
 from typing import Sequence, Type, Union
 
+import jax.numpy as jnp
+import numpy as np
+
 from .models.prox import L2Regularization
 from .models.regularization import (
     ParameterizedRegularization,
@@ -160,10 +163,29 @@ def create_linear_solver(
     **kwargs,
 ) -> LinearSolver:
     """Factory (reference createLinearSolver, :288-294). `solver` may be a
-    class or its name (case-insensitive)."""
+    class or its name (case-insensitive).
+
+    On runtimes without complex dtypes (the tunneled TPU), a complex
+    dense ``A`` transparently builds the split-real twin solver — the
+    solve entry points embed b / reassemble x host-side and return numpy
+    complex64 (models/split_real.py). Complex is first-class in the
+    reference everywhere, so failing here would be a capability gap, not
+    a semantics choice."""
     if isinstance(solver, str):
         solver = solver_by_name(solver)
     kept = filter_kwargs(solver, kwargs, kwarg_warning)
     if AHA is not None:
         kept["AHA"] = AHA
+    if A is not None and AHA is None:
+        from .models.split_real import backend_supports_complex
+        from .ops.base import DenseOperator, LinearOperator
+
+        host_complex = not isinstance(A, LinearOperator) and np.iscomplexobj(A)
+        dense_complex = isinstance(A, DenseOperator) and jnp.issubdtype(
+            jnp.dtype(A.mat.dtype), jnp.complexfloating
+        )
+        if (host_complex or dense_complex) and not backend_supports_complex():
+            from .models.split_real import build_split_real_solver
+
+            return build_split_real_solver(solver, A, **kept)
     return solver.create(A, **kept)

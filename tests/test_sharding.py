@@ -149,6 +149,46 @@ def test_row_sharded_hlo_psum_no_allgather(rng):
     assert "all-gather" not in hlo, "row-sharded solve gathered A or y"
 
 
+def test_2d_mesh_batch_rows_cgnr(rng):
+    """2-D (batch × rows) mesh (VERDICT r3 item 5): K problems share a
+    tall row-sharded dense A; problems shard over "batch". The batched
+    CGNR solve must (a) keep its psum on the rows axis with NO
+    all-gather, and (b) match the unsharded solve."""
+    ndev = len(jax.devices())
+    if ndev < 4 or ndev % 2:
+        pytest.skip("needs a multi-device mesh")
+    rows_nd = ndev // 2
+    mesh = make_mesh(
+        shape=(2, rows_nd), axis_names=("batch", "rows"),
+        devices=jax.devices(),
+    )
+    m, n, K = 16 * rows_nd, 16, 4
+    mat = rng.normal(size=(m, n)).astype(np.float32)
+    Bnp = mat @ rng.normal(size=(n, K)).astype(np.float32)
+    op = rt.DenseOperator(
+        jax.device_put(
+            jnp.asarray(mat),
+            jax.NamedSharding(mesh, jax.sharding.PartitionSpec("rows", None)),
+        )
+    )
+    s = rt.CGNR.create(op, reg=rt.L2Regularization(1e-6), iterations=30)
+    Bs = jax.device_put(
+        jnp.asarray(Bnp),
+        jax.NamedSharding(mesh, jax.sharding.PartitionSpec("rows", "batch")),
+    )
+    compiled = jax.jit(solve_batched).lower(s, Bs).compile()
+    hlo = compiled.as_text()
+    assert "all-gather" not in hlo, "2-D mesh solve emitted all-gather"
+    assert "all-reduce" in hlo or "reduce-scatter" in hlo
+    got = np.asarray(jax.jit(solve_batched)(s, Bs))
+    s_plain = rt.CGNR.create(
+        rt.DenseOperator(jnp.asarray(mat)), reg=rt.L2Regularization(1e-6),
+        iterations=30,
+    )
+    want = np.asarray(solve_batched(s_plain, jnp.asarray(Bnp)))
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-5)
+
+
 def test_fused_cgnr_sharded(rng):
     """Sharded fused whole-solve CGNR must match the unsharded kernel."""
     import jax
