@@ -80,17 +80,24 @@ def pytest_collection_modifyitems(config, items):
         # over-skip them otherwise
         if item.get_closest_marker("chip_ok") is not None:
             continue
-        # boolean complex-flag parametrizations decide directly: the True
-        # variant is skipped, the False variant runs (its source mentions
-        # "complex" only to thread the flag)
+        # complex-flag parametrizations decide directly: the complex
+        # variant is skipped, the real variant runs (its source mentions
+        # "complex" only to thread the flag). Handles bool flags on
+        # complex-named params AND dtype-style string params whose VALUE
+        # names a complex dtype.
         callspec = getattr(item, "callspec", None)
         cflags = [
             v
             for k, v in (callspec.params if callspec else {}).items()
             if "complex" in k.lower() and isinstance(v, bool)
         ]
-        if cflags:
-            if any(cflags):
+        sflags = [
+            "complex" in str(v).lower()
+            for k, v in (callspec.params if callspec else {}).items()
+            if isinstance(v, (str, np.dtype))
+        ]
+        if cflags or any(sflags):
+            if any(cflags) or any(sflags):
                 item.add_marker(skip_for("complex"))
             continue
         try:
@@ -99,7 +106,12 @@ def pytest_collection_modifyitems(config, items):
             continue
         mod = fn.__module__
         if mod not in module_hits:
-            # helpers outside the test body (fixture builders etc.)
+            # helpers outside the test body (fixture builders etc.) —
+            # EXCEPT helpers whose complex content is entirely gated
+            # behind a complex-named kwarg defaulting to False: calls
+            # that leave the gate off are complex-free at runtime, and
+            # calls that turn it on mention "complex" at the call site,
+            # which the direct source rule already catches.
             try:
                 msrc = inspect.getsource(sys.modules[mod])
             except (OSError, TypeError, KeyError):
@@ -109,7 +121,12 @@ def pytest_collection_modifyitems(config, items):
                 for name, obj in vars(sys.modules.get(mod, object())).items()
                 if callable(obj)
                 and not name.startswith("test_")
+                # helpers DEFINED in the test module only: imported
+                # library callables (rt.solve & co) legitimately document
+                # complex routing without making their callers complex
+                and getattr(obj, "__module__", None) == mod
                 and _src_matches(obj, pattern)
+                and not _complex_gated(obj, pattern)
             } if msrc else set()
         hits = module_hits[mod]
         if pattern.search(src):
@@ -133,6 +150,58 @@ def _src_matches(obj, pattern):
         return bool(pattern.search(inspect.getsource(obj)))
     except (OSError, TypeError):
         return False
+
+
+def _complex_gated(obj, pattern):
+    """True when every complex/FFT mention in `obj`'s source sits inside
+    an ``if <flag>:`` branch gated by a complex-named parameter whose
+    default is falsy — i.e. the helper is complex-free unless a caller
+    opts in explicitly (and such a call site matches the source pattern
+    itself)."""
+    import ast
+    import inspect
+    import textwrap
+
+    try:
+        src = textwrap.dedent(inspect.getsource(obj))
+        tree = ast.parse(src)
+    except (OSError, TypeError, SyntaxError):
+        return False
+    fn = tree.body[0] if tree.body else None
+    if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+        return False
+    # complex-named params with falsy defaults
+    args = fn.args
+    named = list(args.args) + list(args.kwonlyargs)
+    defaults = dict(
+        zip([a.arg for a in args.args[len(args.args) - len(args.defaults):]],
+            args.defaults)
+    )
+    defaults.update(
+        {a.arg: d for a, d in zip(args.kwonlyargs, args.kw_defaults) if d}
+    )
+    gates = set()
+    for a in named:
+        if "complex" in a.arg.lower():
+            d = defaults.get(a.arg)
+            if isinstance(d, ast.Constant) and not d.value:
+                gates.add(a.arg)
+    if not gates:
+        return False
+
+    class Strip(ast.NodeTransformer):
+        def visit_If(self, node):
+            self.generic_visit(node)
+            if isinstance(node.test, ast.Name) and node.test.id in gates:
+                return node.orelse or ast.Pass()
+            return node
+
+    stripped = Strip().visit(ast.parse(src))
+    # drop the signature line (the gate param's own name matches)
+    body_src = "\n".join(
+        ast.unparse(stmt) for stmt in stripped.body[0].body
+    )
+    return not pattern.search(body_src)
 
 
 import sys  # noqa: E402

