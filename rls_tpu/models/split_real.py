@@ -274,6 +274,11 @@ def build_split_real_solver(
         twins = twins[0] if twins else None
     import jax.numpy as jnp
 
-    As = jnp.asarray(embed_matrix(Anp))
+    from ..ops.base import DenseOperator as _Dense
+
+    # compensated matvecs: the complex-free runtime is also the bf16-MXU
+    # runtime, where a plain f32 matmul is ~4e-3 off — the routed complex
+    # user deserves the same f32 accuracy the reference's complex path has
+    As = _Dense(jnp.asarray(embed_matrix(Anp)), compensated=True)
     inner = solver_cls.create(As, reg=twins, **kwargs)
     return SplitRealSolver(inner=inner, n=n)
