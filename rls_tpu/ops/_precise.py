@@ -80,10 +80,16 @@ def mm_right(x, r_cat):
 
 def mm_both(a, b):
     """Compensated ``a @ b`` where BOTH operands are runtime values:
-    one stacked matmul carrying ah·bh + ah·bl + al·bh (the al·bl term is
-    below f32 epsilon). Batch dims broadcast like jnp.matmul."""
+    one stacked matmul carrying ALL FOUR products ah·bh + ah·bl + al·bh
+    + al·bl. The 3-term form (dropping al·bl, ~2⁻¹⁶ relative per
+    multiply) is fine inside self-correcting prox-gradient steps, but
+    long Krylov/momentum chains amplify it to ~1e-3 over ~40 iterations
+    (docs/tpu.md "4-term rule"; measured in the dense-PGM fused-vs-
+    composed parity and the SplitBregman sense128 parity config) — and
+    this path IS the composed reference, so it carries the full rule.
+    Batch dims broadcast like jnp.matmul."""
     ah, al = split_bf16(a)
     bh, bl = split_bf16(b)
-    return jnp.concatenate([ah, ah, al], axis=-1) @ jnp.concatenate(
-        [bh, bl, bh], axis=-2
+    return jnp.concatenate([ah, ah, al, al], axis=-1) @ jnp.concatenate(
+        [bh, bl, bh, bl], axis=-2
     )

