@@ -359,7 +359,8 @@ def make_sepconv_normal_stencil_window(
     return normal
 
 
-def make_tv_fgp_window(H: int, W: int, n_rows: int, row0, dtype):
+def make_tv_fgp_window(H: int, W: int, n_rows: int, row0, dtype,
+                       unroll: bool = False):
     """Window variant of `make_tv_fgp` for row-tiled kernels (see
     `make_sepconv_normal_stencil_window` for the window convention).
 
@@ -417,7 +418,29 @@ def make_tv_fgp_window(H: int, W: int, n_rows: int, row0, dtype):
         )
         return xg - lam_tv * gt(pv, ph)
 
-    return gt, fgp
+    def fgp_unrolled(xg, lam_tv, iterations: int):
+        """Statically-unrolled λ-scaled window FGP — the tiled twin of
+        `_fgp_unrolled_scaled` (duals carry P = λ·p, momentum t2 baked,
+        iteration 0 collapses to one gradient+clip): identical math up
+        to f32 rounding, ~20% fewer VPU ops, measured +17% on the
+        monolithic kernel (ab_fgp r4)."""
+        if iterations == 0:
+            return xg
+        pv = jnp.clip(gv(xg) * 0.125, -lam_tv, lam_tv) * vmask
+        ph = jnp.clip(gh(xg) * 0.125, -lam_tv, lam_tv) * hmask
+        rv, rh = pv, ph
+        t2s = _fgp_t2_schedule(iterations)
+        for i in range(1, iterations):
+            xtmp = xg - gt(rv, rh)
+            qv = jnp.clip(rv + gv(xtmp) * 0.125, -lam_tv, lam_tv) * vmask
+            qh = jnp.clip(rh + gh(xtmp) * 0.125, -lam_tv, lam_tv) * hmask
+            t2 = t2s[i]
+            rv = (1.0 + t2) * qv - t2 * pv
+            rh = (1.0 + t2) * qh - t2 * ph
+            pv, ph = qv, qh
+        return xg - gt(pv, ph)
+
+    return gt, (fgp_unrolled if unroll else fgp)
 
 
 def _fgp_t2_schedule(iterations: int):

@@ -73,6 +73,7 @@ def _kernel(
     p0_s,  # VMEM scratch (TRH, W): prefetch landing buffers (tile t+1)
     pi_s,  # VMEM scratch (TRH, W)
     pm_s,  # VMEM scratch (TRH, W)
+    x0full_s,  # VMEM scratch (H + 2·halo, W): per-problem resident AᴴB
     sems,  # DMA semaphores (4,)
     *,
     H: int,
@@ -128,13 +129,23 @@ def _kernel(
     prev = (i - 1) % 3
     nxt = (i + 1) % 3
 
+    # AᴴB is iteration-invariant: land the whole halo-padded plane in
+    # VMEM once per problem (one HBM read of the image instead of
+    # T·iterations window reads — a third of the loop's read DMA), then
+    # serve every tile window VMEM→VMEM.
+    @pl.when(jnp.logical_and(i == 0, t == 0))
+    def _load_x0():
+        cp = pltpu.make_async_copy(x0_hbm.at[p], x0full_s, sems.at[0])
+        cp.start()
+        cp.wait()
+
     def reads(tt, dst0, dsti, dstm):
         """The (up to 3) window copies for tile `tt` into the given
         landing buffers — x_{i-1} only exists for i > 1, x_i for i > 0."""
         r = tt * TR
         return (
             pltpu.make_async_copy(
-                x0_hbm.at[p, pl.ds(r, TRH), :], dst0, sems.at[0]
+                x0full_s.at[pl.ds(r, TRH), :], dst0, sems.at[0]
             ),
             pltpu.make_async_copy(
                 xbuf_hbm.at[cur, pl.ds(r, TRH), :], dsti, sems.at[1]
@@ -199,7 +210,7 @@ def _kernel(
     normal = make_sepconv_normal_stencil_window(
         taps[0], taps[1], H, W, TRH, row0_img, f32
     )
-    _, fgp = make_tv_fgp_window(H, W, TRH, row0_img, f32)
+    _, fgp = make_tv_fgp_window(H, W, TRH, row0_img, f32, unroll=True)
 
     x = xi_s[...]
     x0hat = x0_s[...]
@@ -329,7 +340,10 @@ def _fista_vmem_sweep(
         normal = make_sepconv_normal_stencil_window(
             taps[0], taps[1], H, W, n_rows, lo, f32
         )
-        _, fgp = make_tv_fgp_window(H, W, n_rows, lo, f32)
+        # unrolled lambda-scaled FGP on the fixed schedule (+17% on the
+        # monolithic kernel, ab_fgp r4); dynamic keeps the fori loop
+        _, fgp = make_tv_fgp_window(H, W, n_rows, lo, f32,
+                                    unroll=not dynamic)
         x = xc_s[lo:hi, :]
         x_mom = x + a * (x - xm_s[lo:hi, :])
         res = normal(x_mom) - x0_ref[0, lo:hi, :]
@@ -522,7 +536,8 @@ def _kernel_vmem_pgm(
         normal = make_sepconv_normal_stencil_window(
             taps[0], taps[1], H, W, n_rows, lo, f32
         )
-        _, fgp = make_tv_fgp_window(H, W, n_rows, lo, f32)
+        _, fgp = make_tv_fgp_window(H, W, n_rows, lo, f32,
+                                    unroll=not dynamic)
         x = x_s[lo:hi, :]
         y = y_s[lo:hi, :]
         z = z_s[lo:hi, :]
@@ -639,8 +654,9 @@ def _vmem_limit_tiled(
             planes = 8
         model = planes * H * W * 4 + 12 * trh * W * 4
         slack = 2 * H * W * 4
-    else:  # hbm-streamed: scratch windows are tile-sized, out block TR×W
-        model = 19 * trh * W * 4
+    else:  # hbm-streamed: scratch windows are tile-sized, out block TR×W,
+        # plus the per-problem VMEM-resident halo-padded x0 plane
+        model = 19 * trh * W * 4 + (H + 2 * halo) * W * 4
         slack = 2 * TR * W * 4
     return max(16 * 1024 * 1024, model + slack + 2 * 1024 * 1024)
 
@@ -648,8 +664,16 @@ def _vmem_limit_tiled(
 def pick_tile_rows(H: int, W: int, halo: int, vmem_budget: int | None = None):
     """Largest 8-multiple divisor of H whose ~19-plane working set fits
     the scoped-VMEM budget (planes: 4 compute + 3 prefetch scratch
-    windows + FGP/stencil temps, empirical)."""
-    budget = vmem_budget if vmem_budget is not None else 14 * 1024 * 1024
+    windows + FGP/stencil temps, empirical).
+
+    Default budget 32 MiB: the kernel passes an explicit
+    vmem_limit_bytes sized to this model (far under the 128 MiB
+    physical VMEM), and larger tiles cut halo recompute — chip A/B at
+    1024² (tiled_ab r4): TR=128 (the old 14 MiB pick) 10.6 p/s,
+    TR=256 12.9 p/s (+22%, bitwise-equal), TR=512 12.1 p/s. The model
+    includes the per-problem VMEM-resident x0 plane."""
+    budget = vmem_budget if vmem_budget is not None else 32 * 1024 * 1024
+    plane = (H + 2 * halo) * W * 4
     best = None
     for tr in range(8, H // 2 + 1, 8):
         if H % tr:
@@ -657,7 +681,7 @@ def pick_tile_rows(H: int, W: int, halo: int, vmem_budget: int | None = None):
         trh = tr + 2 * halo
         if trh > H:
             continue
-        if 19 * trh * W * 4 <= budget:
+        if 19 * trh * W * 4 + plane <= budget:
             best = tr
     return best
 
@@ -860,6 +884,7 @@ def fista_tv_tiled(
             pltpu.VMEM((TRH, W), jnp.float32),
             pltpu.VMEM((TRH, W), jnp.float32),
             pltpu.VMEM((TRH, W), jnp.float32),
+            pltpu.VMEM((H + 2 * halo, W), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         compiler_params=pltpu.CompilerParams(
