@@ -56,7 +56,7 @@ def main():
             causes[reason] += n
 
     lines = [
-        "# TPU suite run — round 3",
+        "# TPU suite run — round 4",
         "",
         "Full suite under `RLS_TPU_TEST_PLATFORM=tpu` on the tunneled",
         "v5e chip (single device).",
