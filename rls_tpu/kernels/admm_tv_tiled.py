@@ -68,6 +68,7 @@ def _kernel(
     tv_iterations: int,
     tol_inner: float,
     prox: str = "none",
+    fgp_unroll: bool = True,
 ):
     b = pl.program_id(0)
     rho = scal_ref[b, 0]
@@ -143,7 +144,7 @@ def _kernel(
             n_rows = hi - lo
             off = t * TR - lo  # interior start within the window (static)
             _, fgp = make_tv_fgp_window(H, W, n_rows, lo, f32,
-                                        unroll=True)
+                                        unroll=fgp_unroll)
             xg = x_s[lo:hi, :] + u_s[lo:hi, :]
             z_new = fgp(xg, lam_z, tv_iterations)
             q_s[t * TR : (t + 1) * TR, :] = z_new[off : off + TR, :]
@@ -230,6 +231,7 @@ def admm_tv_tiled(
             tv_iterations=tv_iterations,
             tol_inner=tol_inner,
             prox=prox,
+            fgp_unroll=not interpret,
         ),
         grid=(B,),
         in_specs=[

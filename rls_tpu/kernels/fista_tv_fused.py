@@ -878,13 +878,18 @@ def solve_pgm_tv_fused(
         if solver.rel_tol is None or isinstance(solver.rel_tol, jax.core.Tracer):
             raise ValueError("early_exit needs a concrete solver.rel_tol")
         rel_tol = float(solver.rel_tol)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     if fgp_unroll is None:
         # default the FIXED-schedule paths to the statically-unrolled
         # λ-scaled FGP: identical math up to f32 rounding, ~20% fewer VPU
         # ops, measured +17% on chip (ab_fgp r4: noconcat_g1_unroll 575.5
         # vs _fori 489.9 p/s, vs_ref 5e-5). The dynamic (restart/early-
-        # exit) loops keep the fori variant until they get their own A/B.
-        fgp_unroll = not (restart or rel_tol is not None)
+        # exit) loops keep the fori variant until they get their own A/B,
+        # and interpret mode keeps fori too: the unrolled body runs each
+        # op Python-eagerly, ~10× slower there (the unrolled math has its
+        # own explicit interpret-mode test).
+        fgp_unroll = not (restart or rel_tol is not None) and not interpret
     op_ = solver.AHA.A
     H_, W_ = op_.im_shape
     if (W_ % 64 or H_ % 64) and op_.taps_len is not None:

@@ -82,6 +82,7 @@ def _kernel(
     halo: int,
     taps: tuple,
     tv_iterations: int,
+    fgp_unroll: bool = True,
 ):
     p = pl.program_id(0)
     i = pl.program_id(1)
@@ -210,7 +211,8 @@ def _kernel(
     normal = make_sepconv_normal_stencil_window(
         taps[0], taps[1], H, W, TRH, row0_img, f32
     )
-    _, fgp = make_tv_fgp_window(H, W, TRH, row0_img, f32, unroll=True)
+    _, fgp = make_tv_fgp_window(H, W, TRH, row0_img, f32,
+                                unroll=fgp_unroll)
 
     x = xi_s[...]
     x0hat = x0_s[...]
@@ -249,6 +251,7 @@ def _kernel_vmem(
     tv_iterations: int,
     restart: bool = False,
     rel_tol: float | None = None,
+    fgp_unroll: bool = False,
 ):
     """VMEM-carry tiled variant: the FISTA carries stay full-image VMEM
     scratch (persistent across grid steps); only the iteration TEMPS
@@ -296,6 +299,7 @@ def _kernel_vmem(
     dot_acc, res_acc = _fista_vmem_sweep(
         x0_ref, xc_s, xm_s, xn_s, a, live, rho, lam,
         H, W, TR, halo, taps, tv_iterations, restart, rel_tol,
+        fgp_unroll=fgp_unroll,
     )
 
     if dynamic:
@@ -321,6 +325,7 @@ def _kernel_vmem(
 def _fista_vmem_sweep(
     x0_ref, xc_s, xm_s, xn_s, a, live, rho, lam,
     H, W, TR, halo, taps, tv_iterations, restart, rel_tol,
+    fgp_unroll=False,
 ):
     """One FISTA iteration over all row tiles of the VMEM-carry layout:
     reads xc_s/xm_s windows, writes xn_s interiors (with the `live`
@@ -343,7 +348,7 @@ def _fista_vmem_sweep(
         # unrolled lambda-scaled FGP on the fixed schedule (+17% on the
         # monolithic kernel, ab_fgp r4); dynamic keeps the fori loop
         _, fgp = make_tv_fgp_window(H, W, n_rows, lo, f32,
-                                    unroll=not dynamic)
+                                    unroll=fgp_unroll and not dynamic)
         x = xc_s[lo:hi, :]
         x_mom = x + a * (x - xm_s[lo:hi, :])
         res = normal(x_mom) - x0_ref[0, lo:hi, :]
@@ -387,6 +392,7 @@ def _kernel_vmem_fori(
     iterations: int,
     restart: bool = False,
     rel_tol: float | None = None,
+    fgp_unroll: bool = False,
 ):
     """`_kernel_vmem` with the iteration axis as an in-kernel
     `lax.fori_loop` instead of a grid dimension: grid = (problems,), one
@@ -423,6 +429,7 @@ def _kernel_vmem_fori(
         dot_acc, res_acc = _fista_vmem_sweep(
             x0_ref, xc_s, xm_s, xn_s, a, live, rho, lam,
             H, W, TR, halo, taps, tv_iterations, restart, rel_tol,
+            fgp_unroll=fgp_unroll,
         )
         if dynamic:
             th_new, th_old_new, done_new, _ = _fista_dynamic_scalars(
@@ -461,6 +468,7 @@ def _kernel_vmem_pgm(
     restart: bool = False,
     rel_tol: float | None = None,
     sigma_fac: float = 1.0,
+    fgp_unroll: bool = False,
 ):
     """OptISTA/POGM VMEM-carry tiled variant: like `_kernel_vmem` but
     with the (x, y, z) carry triple of the table-driven PGM family
@@ -537,7 +545,7 @@ def _kernel_vmem_pgm(
             taps[0], taps[1], H, W, n_rows, lo, f32
         )
         _, fgp = make_tv_fgp_window(H, W, n_rows, lo, f32,
-                                    unroll=not dynamic)
+                                    unroll=fgp_unroll and not dynamic)
         x = x_s[lo:hi, :]
         y = y_s[lo:hi, :]
         z = z_s[lo:hi, :]
@@ -780,6 +788,7 @@ def fista_tv_tiled(
                     H=H, W=W, TR=TR, halo=halo, taps=taps,
                     tv_iterations=tv_iterations, iterations=iterations,
                     restart=restart, rel_tol=rel_tol,
+                    fgp_unroll=not interpret,
                 )
                 scratch = [pltpu.VMEM((H, W), jnp.float32) for _ in range(3)]
             else:
@@ -788,6 +797,7 @@ def fista_tv_tiled(
                     H=H, W=W, TR=TR, halo=halo, taps=taps,
                     tv_iterations=tv_iterations,
                     restart=restart, rel_tol=rel_tol,
+                    fgp_unroll=not interpret,
                 )
                 scratch = [pltpu.VMEM((H, W), jnp.float32) for _ in range(3)]
                 scratch.append(pltpu.SMEM((4,), jnp.float32))
@@ -800,6 +810,7 @@ def fista_tv_tiled(
                 tv_iterations=tv_iterations, method=method,
                 iterations=iterations,
                 restart=restart, rel_tol=rel_tol, sigma_fac=sigma_fac,
+                fgp_unroll=not interpret,
             )
             n_planes = 8 if dynamic else 6
             scratch = [pltpu.VMEM((H, W), jnp.float32) for _ in range(n_planes)]
@@ -858,6 +869,7 @@ def fista_tv_tiled(
             halo=halo,
             taps=taps,
             tv_iterations=tv_iterations,
+            fgp_unroll=not interpret,
         ),
         grid=(P, iterations, H // TR),
         in_specs=[
