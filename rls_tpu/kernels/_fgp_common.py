@@ -74,7 +74,7 @@ def rne_bf16_f32(v):
     return lax.bitcast_convert_type(rounded & jnp.uint32(0xFFFF0000), jnp.float32)
 
 
-def make_gram_normal_noconcat(l2, lh, r2, rh, dtype):
+def make_gram_normal_noconcat(l2, lh, r2, rh, dtype, full4: bool = False):
     """Compensated Gram sandwich WITHOUT the runtime `[xh; xl; xh]` concat
     buffers: `B u ≈ B_hi u_hi + B_lo u_hi + B_hi u_lo` as one stacked-
     OUTPUT matmul `[B_hi; B_lo] @ u_hi` (halves added) plus the correction
@@ -85,6 +85,16 @@ def make_gram_normal_noconcat(l2, lh, r2, rh, dtype):
 
     `l2`/`r2` are the output-stacked [hi; lo] factors, `lh`/`rh` the hi
     factors alone.
+
+    ``full4`` adds the fourth lo·lo cross product per side (the 3-term
+    form drops it at ~2⁻¹⁶ relative per multiply — harmless in
+    self-correcting prox-gradient iterations, but solvers that INTEGRATE
+    matvec error across outer iterations amplify it: SplitBregman's ~256
+    chained CG steps missed the 1e-4 parity bar until its DFT got the
+    4-term rule in r4, and ADMM's scaled dual u accumulates every CG
+    x-error — see docs/tpu.md's 4-term rule). Cost: 4 unit matmuls per
+    side instead of 3 (the lo correction rides the already-stacked
+    factor, so it is one extra stacked-operand matmul, not two).
     """
     H = lh.shape[0]
     W = rh.shape[1]
@@ -92,12 +102,18 @@ def make_gram_normal_noconcat(l2, lh, r2, rh, dtype):
     def left(u):
         uh, ul = split_bf16(u)
         m2 = jnp.dot(l2, uh, preferred_element_type=dtype)  # (2H, W)
+        if full4:
+            c2 = jnp.dot(l2, ul, preferred_element_type=dtype)
+            return m2[:H] + m2[H:] + c2[:H] + c2[H:]
         corr = jnp.dot(lh, ul, preferred_element_type=dtype)
         return m2[:H] + m2[H:] + corr
 
     def right(m):
         mh, ml = split_bf16(m)
         m2 = jnp.dot(mh, r2, preferred_element_type=dtype)  # (H, 2W)
+        if full4:
+            c2 = jnp.dot(ml, r2, preferred_element_type=dtype)
+            return m2[:, :W] + m2[:, W:] + c2[:, :W] + c2[:, W:]
         corr = jnp.dot(ml, rh, preferred_element_type=dtype)
         return m2[:, :W] + m2[:, W:] + corr
 
@@ -360,7 +376,7 @@ def make_sepconv_normal_stencil_window(
 
 
 def make_tv_fgp_window(H: int, W: int, n_rows: int, row0, dtype,
-                       unroll: bool = False):
+                       unroll: bool = False, store=None):
     """Window variant of `make_tv_fgp` for row-tiled kernels (see
     `make_sepconv_normal_stencil_window` for the window convention).
 
@@ -381,17 +397,18 @@ def make_tv_fgp_window(H: int, W: int, n_rows: int, row0, dtype,
     has_above = (g > 0).astype(dtype)
 
     def gv(u):
-        return pltpu.roll(u, n_rows - 1, 0) - u
+        return roll_any(u, n_rows - 1, 0) - u
 
     def gh(u):
-        return pltpu.roll(u, W - 1, 1) - u
+        return roll_any(u, W - 1, 1) - u
 
     def gt(pv, ph):
-        tv = pltpu.roll(pv, 1, 0) * has_above - pv
-        th = pltpu.roll(ph, 1, 1) - ph
+        tv = roll_any(pv, 1, 0) * has_above - pv
+        th = roll_any(ph, 1, 1) - ph
         return tv + th
 
-    zeros = jnp.zeros((n_rows, W), dtype)
+    dn, up = _dual_casts(dtype, store)
+    zeros = jnp.zeros((n_rows, W), store if store is not None else dtype)
 
     def fgp(xg, lam_tv, iterations: int):
         lam_safe = jnp.where(lam_tv > 0, lam_tv, 1.0)
@@ -399,16 +416,16 @@ def make_tv_fgp_window(H: int, W: int, n_rows: int, row0, dtype,
 
         def body(_, carry):
             pv, ph, rv, rh, t = carry
-            xtmp = xg - lam_tv * gt(rv, rh)
-            qv = rv + gv(xtmp) * inv8
-            qh = rh + gh(xtmp) * inv8
+            xtmp = xg - lam_tv * up(gt(rv, rh))
+            qv = up(rv) + gv(xtmp) * inv8
+            qh = up(rh) + gh(xtmp) * inv8
             qv = jnp.clip(qv, -1.0, 1.0) * vmask
             qh = jnp.clip(qh, -1.0, 1.0) * hmask
             t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) / 2.0
             t2 = (t - 1.0) / t_new
-            rv_new = (1.0 + t2) * qv - t2 * pv
-            rh_new = (1.0 + t2) * qh - t2 * ph
-            return (qv, qh, rv_new, rh_new, t_new)
+            rv_new = dn((1.0 + t2) * qv - t2 * up(pv))
+            rh_new = dn((1.0 + t2) * qh - t2 * up(ph))
+            return (dn(qv), dn(qh), rv_new, rh_new, t_new)
 
         pv, ph, _, _, _ = lax.fori_loop(
             0,
@@ -416,7 +433,7 @@ def make_tv_fgp_window(H: int, W: int, n_rows: int, row0, dtype,
             body,
             (zeros, zeros, zeros, zeros, jnp.asarray(1.0, dtype)),
         )
-        return xg - lam_tv * gt(pv, ph)
+        return xg - lam_tv * up(gt(pv, ph))
 
     def fgp_unrolled(xg, lam_tv, iterations: int):
         """Statically-unrolled λ-scaled window FGP — the tiled twin of
@@ -426,21 +443,59 @@ def make_tv_fgp_window(H: int, W: int, n_rows: int, row0, dtype,
         monolithic kernel (ab_fgp r4)."""
         if iterations == 0:
             return xg
-        pv = jnp.clip(gv(xg) * 0.125, -lam_tv, lam_tv) * vmask
-        ph = jnp.clip(gh(xg) * 0.125, -lam_tv, lam_tv) * hmask
+        pv = dn(jnp.clip(gv(xg) * 0.125, -lam_tv, lam_tv) * vmask)
+        ph = dn(jnp.clip(gh(xg) * 0.125, -lam_tv, lam_tv) * hmask)
         rv, rh = pv, ph
         t2s = _fgp_t2_schedule(iterations)
         for i in range(1, iterations):
-            xtmp = xg - gt(rv, rh)
-            qv = jnp.clip(rv + gv(xtmp) * 0.125, -lam_tv, lam_tv) * vmask
-            qh = jnp.clip(rh + gh(xtmp) * 0.125, -lam_tv, lam_tv) * hmask
+            xtmp = xg - up(gt(rv, rh))
+            qv = jnp.clip(up(rv) + gv(xtmp) * 0.125, -lam_tv, lam_tv) * vmask
+            qh = jnp.clip(up(rh) + gh(xtmp) * 0.125, -lam_tv, lam_tv) * hmask
             t2 = t2s[i]
-            rv = (1.0 + t2) * qv - t2 * pv
-            rh = (1.0 + t2) * qh - t2 * ph
-            pv, ph = qv, qh
-        return xg - gt(pv, ph)
+            rv = dn((1.0 + t2) * qv - t2 * up(pv))
+            rh = dn((1.0 + t2) * qh - t2 * up(ph))
+            pv, ph = dn(qv), dn(qh)
+        return xg - up(gt(pv, ph))
 
     return gt, (fgp_unrolled if unroll else fgp)
+
+
+def roll_any(u, shift: int, axis: int):
+    """`pltpu.roll` for 32-bit dtypes; concat-of-slices for 16-bit ones.
+
+    Mosaic's `tpu.dynamic_rotate` is "not implemented: Rotate with
+    non-32-bit data" (probed on chip, r5), so bf16-stored dual fields
+    cannot ride `pltpu.roll`. A static roll is exactly
+    `concat([u[shift:], u[:shift]])`, which Mosaic lowers for 16-bit
+    types via relayout shifts. `shift` must be a Python int."""
+    if jnp.dtype(u.dtype).itemsize == 4:
+        return pltpu.roll(u, shift, axis)
+    n = u.shape[axis]
+    shift = shift % n
+    if shift == 0:
+        return u
+    # pltpu.roll convention: out[i] = u[(i - shift) mod n]
+    tail = lax.slice_in_dim(u, n - shift, n, axis=axis)
+    head = lax.slice_in_dim(u, 0, n - shift, axis=axis)
+    return lax.concatenate([tail, head], dimension=axis)
+
+
+def _dual_casts(f32, store):
+    """(downcast, upcast) pair for dual-field STORAGE dtype ``store``.
+
+    ``store=None`` keeps everything in the compute dtype (identity).
+    ``store=bf16`` halves the VMEM bytes of every dual-field read/write —
+    the r4 roofline ablation (tools/roofline_ablate.py) attributed the
+    flagship bound to per-iteration dual/plane VMEM traffic, and the dual
+    fields account for ~3/4 of the FGP loop's plane touches. Arithmetic
+    stays f32 (upcast at use); only what crosses an iteration boundary is
+    rounded, so the added error is ≤ 2⁻⁹ of the clamp bound λ per field —
+    an inexact-prox perturbation the outer PGM iteration absorbs (A/B'd
+    on chip for speed AND parity before becoming a default)."""
+    if store is None:
+        ident = lambda v: v  # noqa: E731
+        return ident, ident
+    return (lambda v: v.astype(store)), (lambda v: v.astype(f32))
 
 
 def _fgp_t2_schedule(iterations: int):
@@ -469,33 +524,38 @@ def _fgp_grid(H: int, W: int, dtype, groups: int):
     not_last_col = (col < W - 1).astype(dtype)
 
     def gv(u):
-        return pltpu.roll(u, GH - 1, 0) - u
+        return roll_any(u, GH - 1, 0) - u
 
     def gh(u):
-        return pltpu.roll(u, W - 1, 1) - u
+        return roll_any(u, W - 1, 1) - u
 
     def gt(pv, ph):
-        tv = pltpu.roll(pv, 1, 0) - pv
-        th = pltpu.roll(ph, 1, 1) - ph
+        tv = roll_any(pv, 1, 0) - pv
+        th = roll_any(ph, 1, 1) - ph
         return tv + th
 
     return GH, not_last_row, not_last_col, gv, gh, gt
 
 
 def _fgp_unrolled_scaled(
-    xg, lam_tv, iterations, duals, gv, gh, gt, not_last_row, not_last_col
+    xg, lam_tv, iterations, duals, gv, gh, gt, not_last_row, not_last_col,
+    store=None,
 ):
     """Statically-unrolled λ-scaled FGP dual loop (duals carry P = λ·p,
     momentum t2 baked as constants). ``duals=None`` is the cold start —
     iteration 0 (all duals zero) collapses to a single gradient+clip, the
     λ = 0 clamp pins the duals to exactly zero so the prox degenerates to
-    the identity. Returns ``(x, (pv, ph))``."""
+    the identity. ``store`` sets the dual-field STORAGE dtype (see
+    `_dual_casts`); arithmetic stays in xg's dtype. Returns
+    ``(x, (pv, ph))`` with the duals in the storage dtype."""
+    dn, up = _dual_casts(xg.dtype, store)
     if duals is None:
         if iterations == 0:
-            z = xg * 0.0
+            z = dn(xg * 0.0)
             return xg, (z, z)
-        pv = jnp.clip(gv(xg) * 0.125, -lam_tv, lam_tv) * not_last_row
-        ph = jnp.clip(gh(xg) * 0.125, -lam_tv, lam_tv) * not_last_col
+        pv_f = jnp.clip(gv(xg) * 0.125, -lam_tv, lam_tv) * not_last_row
+        ph_f = jnp.clip(gh(xg) * 0.125, -lam_tv, lam_tv) * not_last_col
+        pv, ph = dn(pv_f), dn(ph_f)
         start = 1
     else:
         pv, ph = duals
@@ -503,17 +563,18 @@ def _fgp_unrolled_scaled(
     rv, rh = pv, ph  # momentum restart: r ← p, t ← 1
     t2s = _fgp_t2_schedule(iterations)
     for i in range(start, iterations):
-        xtmp = xg - gt(rv, rh)
-        qv = jnp.clip(rv + gv(xtmp) * 0.125, -lam_tv, lam_tv) * not_last_row
-        qh = jnp.clip(rh + gh(xtmp) * 0.125, -lam_tv, lam_tv) * not_last_col
+        xtmp = xg - up(gt(rv, rh))
+        qv_f = jnp.clip(up(rv) + gv(xtmp) * 0.125, -lam_tv, lam_tv) * not_last_row
+        qh_f = jnp.clip(up(rh) + gh(xtmp) * 0.125, -lam_tv, lam_tv) * not_last_col
         t2 = t2s[i]  # t2s[0] = 0 ⇒ iteration 0 is the plain step
-        rv = (1.0 + t2) * qv - t2 * pv
-        rh = (1.0 + t2) * qh - t2 * ph
-        pv, ph = qv, qh
-    return xg - gt(pv, ph), (pv, ph)
+        rv = dn((1.0 + t2) * qv_f - t2 * up(pv))
+        rh = dn((1.0 + t2) * qh_f - t2 * up(ph))
+        pv, ph = dn(qv_f), dn(qh_f)
+    return xg - up(gt(pv, ph)), (pv, ph)
 
 
-def make_tv_fgp(H: int, W: int, dtype, groups: int = 1, unroll: bool = False):
+def make_tv_fgp(H: int, W: int, dtype, groups: int = 1, unroll: bool = False,
+                store=None):
     """Returns `(gt, fgp)`:
 
     `fgp(xg, lam_tv, iterations)` — the FGP dual loop solving the TV prox
@@ -537,11 +598,15 @@ def make_tv_fgp(H: int, W: int, dtype, groups: int = 1, unroll: bool = False):
     disappears from every `gt` application, and iteration 0 (all duals
     zero) collapses to a single gradient+clip. Identical math up to f32
     rounding; ~20% fewer VPU ops per dual iteration.
+
+    ``store`` sets the dual-field storage dtype (see `_dual_casts`);
+    bf16 halves dual VMEM traffic at a ≤2⁻⁹·λ inexact-prox perturbation.
     """
     GH, not_last_row, not_last_col, gv, gh, gt = _fgp_grid(
         H, W, dtype, groups
     )
-    zeros = jnp.zeros((GH, W), dtype)
+    dn, up = _dual_casts(dtype, store)
+    zeros = jnp.zeros((GH, W), store if store is not None else dtype)
 
     def fgp_loop(xg, lam_tv, iterations: int):
         lam_safe = jnp.where(lam_tv > 0, lam_tv, 1.0)
@@ -549,18 +614,18 @@ def make_tv_fgp(H: int, W: int, dtype, groups: int = 1, unroll: bool = False):
 
         def body(_, carry):
             pv, ph, rv, rh, t = carry
-            xtmp = xg - lam_tv * gt(rv, rh)
-            qv = rv + gv(xtmp) * inv8
-            qh = rh + gh(xtmp) * inv8
+            xtmp = xg - lam_tv * up(gt(rv, rh))
+            qv = up(rv) + gv(xtmp) * inv8
+            qh = up(rh) + gh(xtmp) * inv8
             # q/max(1,|q|) on real scalars IS clip(q, -1, 1) — saves the
             # multi-cycle VPU divide in the hottest loop of the bench
             qv = jnp.clip(qv, -1.0, 1.0) * not_last_row
             qh = jnp.clip(qh, -1.0, 1.0) * not_last_col
             t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) / 2.0
             t2 = (t - 1.0) / t_new
-            rv_new = (1.0 + t2) * qv - t2 * pv
-            rh_new = (1.0 + t2) * qh - t2 * ph
-            return (qv, qh, rv_new, rh_new, t_new)
+            rv_new = dn((1.0 + t2) * qv - t2 * up(pv))
+            rh_new = dn((1.0 + t2) * qh - t2 * up(ph))
+            return (dn(qv), dn(qh), rv_new, rh_new, t_new)
 
         pv, ph, _, _, _ = lax.fori_loop(
             0,
@@ -568,21 +633,22 @@ def make_tv_fgp(H: int, W: int, dtype, groups: int = 1, unroll: bool = False):
             body,
             (zeros, zeros, zeros, zeros, jnp.asarray(1.0, dtype)),
         )
-        return xg - lam_tv * gt(pv, ph)
+        return xg - lam_tv * up(gt(pv, ph))
 
     def fgp_unrolled(xg, lam_tv, iterations: int):
         # λ-scaled duals: P = λ·p ⇒ xtmp = xg − gt(R), clamp at ±λ (the
         # division 1/(8λ) disappears entirely); cold start = duals None
         return _fgp_unrolled_scaled(
             xg, lam_tv, iterations, None,
-            gv, gh, gt, not_last_row, not_last_col,
+            gv, gh, gt, not_last_row, not_last_col, store=store,
         )[0]
 
     return gt, (fgp_unrolled if unroll else fgp_loop)
 
 
 def make_tv_fgp_stateful(
-    H: int, W: int, dtype, groups: int = 1, unroll: bool = False
+    H: int, W: int, dtype, groups: int = 1, unroll: bool = False,
+    store=None,
 ):
     """`make_tv_fgp` variant whose FGP loop takes and returns its dual
     fields: ``fgp(xg, lam_tv, iterations, (pv, ph)) -> (x, (pv, ph))``.
@@ -605,11 +671,12 @@ def make_tv_fgp_stateful(
     GH, not_last_row, not_last_col, gv, gh, gt = _fgp_grid(
         H, W, dtype, groups
     )
+    dn, up = _dual_casts(dtype, store)
 
     def fgp_unrolled(xg, lam_tv, iterations: int, duals):
         return _fgp_unrolled_scaled(
             xg, lam_tv, iterations, duals,
-            gv, gh, gt, not_last_row, not_last_col,
+            gv, gh, gt, not_last_row, not_last_col, store=store,
         )
 
     def fgp_loop(xg, lam_tv, iterations: int, duals):
@@ -617,14 +684,14 @@ def make_tv_fgp_stateful(
 
         def body(_, carry):
             pv, ph, rv, rh, t = carry
-            xtmp = xg - gt(rv, rh)
-            qv = jnp.clip(rv + gv(xtmp) * 0.125, -lam_tv, lam_tv) * not_last_row
-            qh = jnp.clip(rh + gh(xtmp) * 0.125, -lam_tv, lam_tv) * not_last_col
+            xtmp = xg - up(gt(rv, rh))
+            qv = jnp.clip(up(rv) + gv(xtmp) * 0.125, -lam_tv, lam_tv) * not_last_row
+            qh = jnp.clip(up(rh) + gh(xtmp) * 0.125, -lam_tv, lam_tv) * not_last_col
             t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) / 2.0
             t2 = (t - 1.0) / t_new
-            rv_new = (1.0 + t2) * qv - t2 * pv
-            rh_new = (1.0 + t2) * qh - t2 * ph
-            return (qv, qh, rv_new, rh_new, t_new)
+            rv_new = dn((1.0 + t2) * qv - t2 * up(pv))
+            rh_new = dn((1.0 + t2) * qh - t2 * up(ph))
+            return (dn(qv), dn(qh), rv_new, rh_new, t_new)
 
         pv, ph, _, _, _ = lax.fori_loop(
             0,
@@ -632,6 +699,6 @@ def make_tv_fgp_stateful(
             body,
             (pv0, ph0, pv0, ph0, jnp.asarray(1.0, dtype)),
         )
-        return xg - gt(pv, ph), (pv, ph)
+        return xg - up(gt(pv, ph)), (pv, ph)
 
     return gt, (fgp_unrolled if unroll else fgp_loop)

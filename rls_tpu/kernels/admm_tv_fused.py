@@ -72,10 +72,18 @@ def _kernel(
         rcat = rcat_ref[...]
         # concat-free compensation (identical math, skips the
         # (3H, W)/(H, 3W) temporaries — see fista_tv_fused); factors
-        # derived once per grid step
+        # derived once per grid step. FULL 4-term rule: ADMM's scaled
+        # dual u integrates every CG x-error across outer iterations
+        # (u ← u + x − z, reference ADMM.jl:255-258), so the 3-term
+        # form's dropped lo·lo product (~2⁻¹⁶/multiply) accumulates
+        # linearly over iterations·cg_iterations matvecs — the same
+        # mechanism that kept splitbregman_sense128 above 1e-4 in r3
+        # (fixed by full4 in r4) held admm_tv_deblur256 at 9.33e-5.
         l2 = jnp.concatenate([lcat[:, :H], lcat[:, 2 * H :]], axis=0)
         r2 = jnp.concatenate([rcat[:W], rcat[2 * W :]], axis=1)
-        normal = make_gram_normal_noconcat(l2, lcat[:, :H], r2, rcat[:W], f32)
+        normal = make_gram_normal_noconcat(
+            l2, lcat[:, :H], r2, rcat[:W], f32, full4=True
+        )
 
     def matvec(v):  # composite AᴴA + ρI
         return normal(v) + rho * v

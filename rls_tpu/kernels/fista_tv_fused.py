@@ -127,6 +127,7 @@ def _kernel(
     restart: bool = False,
     rel_tol: float | None = None,
     fgp_unroll: bool = False,
+    fgp_dual_bf16: bool = False,
     sigma_fac: float = 1.0,
     warm_tv: bool = False,
 ):
@@ -150,17 +151,20 @@ def _kernel(
         )
     else:
         normal = make_gram_normal(lcat_ref[...], rcat_ref[...], f32)
+    store = jnp.bfloat16 if fgp_dual_bf16 else None
     if warm_tv:
-        _, fgp_s = make_tv_fgp_stateful(H, W, f32, unroll=fgp_unroll)
+        _, fgp_s = make_tv_fgp_stateful(H, W, f32, unroll=fgp_unroll,
+                                        store=store)
 
         def fgp_state(xg, lam_tv, duals):
             return fgp_s(xg, lam_tv, tv_iterations, duals)
 
         out_ref[0] = _fista_loop_warm(
-            normal, fgp_state, tab_ref, rho, lam, x0hat, iterations
+            normal, fgp_state, tab_ref, rho, lam, x0hat, iterations,
+            dual_dtype=store,
         )
         return
-    _, fgp_n = make_tv_fgp(H, W, f32, unroll=fgp_unroll)
+    _, fgp_n = make_tv_fgp(H, W, f32, unroll=fgp_unroll, store=store)
 
     def fgp(xg, lam_tv):
         return fgp_n(xg, lam_tv, tv_iterations)
@@ -410,7 +414,8 @@ def _pgm_loop(normal, fgp, tab_ref, rho, lam, x0hat, iterations, method):
 
 
 def _fista_loop_warm(
-    normal, fgp_state, tab_ref, rho, lam, x0hat, iterations
+    normal, fgp_state, tab_ref, rho, lam, x0hat, iterations,
+    dual_dtype=None,
 ):
     """Table-driven FISTA loop with WARM-STARTED TV duals: the FGP dual
     fields survive across outer iterations (carried in the loop), so each
@@ -442,8 +447,9 @@ def _fista_loop_warm(
 
     # initial carries derived from a loaded ref (not a splatted constant)
     x_init = x0hat * 0.0
+    d_init = x_init.astype(dual_dtype) if dual_dtype is not None else x_init
     x, _, _, _ = lax.fori_loop(
-        0, iterations, body, (x_init, x_init, x_init, x_init)
+        0, iterations, body, (x_init, x_init, d_init, d_init)
     )
     return x
 
@@ -461,6 +467,7 @@ def _kernel_grouped(
     restart: bool = False,
     rel_tol: float | None = None,
     fgp_unroll: bool = False,
+    fgp_dual_bf16: bool = False,
     sigma_fac: float = 1.0,
     warm_tv: bool = False,
 ):
@@ -515,18 +522,22 @@ def _kernel_grouped(
                     [base(u[g * H : (g + 1) * H]) for g in range(G)], axis=0
                 )
 
+    store = jnp.bfloat16 if fgp_dual_bf16 else None
     if warm_tv:
-        _, fgp_s = make_tv_fgp_stateful(H, W, f32, groups=G, unroll=fgp_unroll)
+        _, fgp_s = make_tv_fgp_stateful(H, W, f32, groups=G,
+                                        unroll=fgp_unroll, store=store)
 
         def fgp_state(xg, lam_tv, duals):
             return fgp_s(xg, lam_tv, tv_iterations, duals)
 
         out_ref[...] = _fista_loop_warm(
-            normal, fgp_state, tab_ref, rho, lam, x0hat, iterations
+            normal, fgp_state, tab_ref, rho, lam, x0hat, iterations,
+            dual_dtype=store,
         ).reshape(G, H, W)
         return
 
-    _, fgp_n = make_tv_fgp(H, W, f32, groups=G, unroll=fgp_unroll)
+    _, fgp_n = make_tv_fgp(H, W, f32, groups=G, unroll=fgp_unroll,
+                           store=store)
 
     def fgp(xg, lam_tv):
         return fgp_n(xg, lam_tv, tv_iterations)
@@ -562,6 +573,7 @@ def fista_tv_fused(
     restart: bool = False,
     rel_tol: float | None = None,
     fgp_unroll: bool = False,
+    fgp_dual_bf16: bool = False,
     sigma_fac: float = 1.0,
     warm_tv: bool = False,
 ):
@@ -634,6 +646,7 @@ def fista_tv_fused(
                 restart=restart,
                 rel_tol=rel_tol,
                 fgp_unroll=fgp_unroll,
+                fgp_dual_bf16=fgp_dual_bf16,
                 sigma_fac=sigma_fac,
                 warm_tv=warm_tv,
             ),
@@ -664,6 +677,7 @@ def fista_tv_fused(
             restart=restart,
             rel_tol=rel_tol,
             fgp_unroll=fgp_unroll,
+            fgp_dual_bf16=fgp_dual_bf16,
             sigma_fac=sigma_fac,
             warm_tv=warm_tv,
         ),
@@ -845,6 +859,7 @@ def solve_pgm_tv_fused(
     early_exit: bool = False,
     warm_tv: bool = False,
     fgp_unroll: bool | None = None,
+    fgp_dual_bf16: bool | None = None,
 ):
     """Drop-in fast path for `solve_batched_unrolled(solver, B)` when the
     solver is FISTA / OptISTA / POGM + SeparableConvOperator + 2-D TV (the
@@ -890,6 +905,12 @@ def solve_pgm_tv_fused(
         # op Python-eagerly, ~10× slower there (the unrolled math has its
         # own explicit interpret-mode test).
         fgp_unroll = not (restart or rel_tol is not None) and not interpret
+    if fgp_dual_bf16 is None:
+        # bf16-stored FGP duals (the r4 roofline ablation's named lever:
+        # per-iteration dual VMEM traffic IS the flagship bound) stay
+        # OFF by default until the interleaved chip A/B (tools/ab_fgp.py
+        # bf16 variants) demonstrates speed AND ≤1e-4 parity.
+        fgp_dual_bf16 = False
     op_ = solver.AHA.A
     H_, W_ = op_.im_shape
     if (W_ % 64 or H_ % 64) and op_.taps_len is not None:
@@ -901,6 +922,7 @@ def solve_pgm_tv_fused(
         return _solve_pgm_tv_fused_stencil(
             solver, B_mat, interpret, method, restart, rel_tol,
             warm_tv=warm_tv, fgp_unroll=fgp_unroll,
+            fgp_dual_bf16=fgp_dual_bf16,
         )
     sigma_fac = float(getattr(solver, "sigma_fac", 1.0))
     op = solver.AHA.A
@@ -939,13 +961,14 @@ def solve_pgm_tv_fused(
         sigma_fac=sigma_fac,
         warm_tv=warm_tv,
         fgp_unroll=fgp_unroll,
+        fgp_dual_bf16=fgp_dual_bf16,
     )
     return out.reshape(out.shape[0], H * W).T
 
 
 def _solve_pgm_tv_fused_stencil(
     solver, B_mat, interpret, method, restart, rel_tol, warm_tv=False,
-    fgp_unroll=False,
+    fgp_unroll=False, fgp_dual_bf16=False,
 ):
     """Stencil-gram variant of the fused solve (see solve_pgm_tv_fused):
     exact f32 VPU stencils instead of the compensated MXU matmuls — used
@@ -984,5 +1007,6 @@ def _solve_pgm_tv_fused_stencil(
         sigma_fac=sigma_fac,
         warm_tv=warm_tv,
         fgp_unroll=fgp_unroll,
+        fgp_dual_bf16=fgp_dual_bf16,
     )
     return out.reshape(out.shape[0], H * W).T

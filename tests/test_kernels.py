@@ -1776,3 +1776,69 @@ def test_pgm_dense_fused_complex_optista_pogm(rng):
         err = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-30)
         assert np.isfinite(np.abs(got)).all()
         assert err < 1e-4, (cls.__name__, err)
+
+
+def test_fgp_dual_bf16_close_and_exact_at_zero_lambda(rng):
+    """bf16-stored FGP duals (the r4 roofline lever) perturb the
+    trajectory by at most the dual storage rounding (~2e-4 over a full
+    solve, CPU-measured); at λ_tv = 0 the duals are exactly zero in any
+    dtype, so bf16 must match f32 bitwise."""
+    from rls_tpu.kernels.fista_tv_fused import fista_tv_fused
+
+    n, B = 24, 4
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    lcat, rcat = op.cat["normal"]
+    x0 = jnp.asarray(rng.normal(size=(B, n, n)), jnp.float32)
+    rho = jnp.asarray([0.9, 0.8, 0.95, 0.85], jnp.float32)
+    lam = jnp.asarray([1e-3, 2e-3, 5e-4, 3e-3], jnp.float32)
+    a = np.asarray(fista_tv_fused(x0, lcat, rcat, rho, lam, 8, 6,
+                                  interpret=True, fgp_unroll=True))
+    for kw in (
+        dict(fgp_unroll=True, fgp_dual_bf16=True),
+        dict(fgp_unroll=False, fgp_dual_bf16=True),
+        dict(gram="noconcat", group=2, fgp_unroll=True,
+             fgp_dual_bf16=True),
+        dict(gram="stencil", taps=op.taps_hw(), group=2, fgp_unroll=True,
+             fgp_dual_bf16=True),
+    ):
+        b = np.asarray(fista_tv_fused(
+            x0, lcat, rcat, rho, lam, 8, 6, interpret=True, **kw))
+        rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+        assert rel < 2e-3, (kw, rel)
+        assert rel > 0.0, (kw, "bf16 path identical to f32 — flag inert?")
+    lam0 = jnp.zeros((B,), jnp.float32)
+    a0 = np.asarray(fista_tv_fused(x0, lcat, rcat, 0.9, lam0, 5, 4,
+                                   interpret=True, fgp_unroll=True))
+    b0 = np.asarray(fista_tv_fused(x0, lcat, rcat, 0.9, lam0, 5, 4,
+                                   interpret=True, fgp_unroll=True,
+                                   fgp_dual_bf16=True))
+    np.testing.assert_allclose(a0, b0, rtol=0, atol=1e-6)
+
+
+def test_gram_noconcat_full4_matches_f64(rng):
+    """The 4-term noconcat Gram must track the f64 Gram strictly better
+    than the 3-term form tracks it (the dropped lo·lo products are the
+    r3/r4 parity-miss mechanism for error-integrating solvers)."""
+    from rls_tpu.kernels._fgp_common import make_gram_normal_noconcat
+
+    n = 32
+    Bh = rng.normal(size=(n, n)).astype(np.float32)
+    u = rng.normal(size=(n, n)).astype(np.float32)
+    from rls_tpu.ops._precise import split_bf16
+
+    bh, bl = split_bf16(jnp.asarray(Bh))
+    l2 = jnp.concatenate([bh, bl], axis=0)
+    r2 = jnp.concatenate([bh.T, bl.T], axis=1)
+    g3 = make_gram_normal_noconcat(l2, bh, r2, bh.T, jnp.float32)
+    g4 = make_gram_normal_noconcat(l2, bh, r2, bh.T, jnp.float32,
+                                   full4=True)
+    ref = (Bh.astype(np.float64) @ u.astype(np.float64)) @ Bh.T.astype(
+        np.float64)
+    e3 = np.abs(np.asarray(g3(jnp.asarray(u))) - ref).max()
+    e4 = np.abs(np.asarray(g4(jnp.asarray(u))) - ref).max()
+    scale = np.abs(ref).max()
+    assert e4 / scale < 5e-7, e4 / scale
+    assert e4 <= e3, (e3, e4)

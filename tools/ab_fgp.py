@@ -52,6 +52,14 @@ VARIANTS = [
     # vs_ref shows the trajectory delta, CPU-measured ~1e-4 at tv=10)
     ("noconcat_g1_warm", dict(gram="noconcat", group=1, fgp_unroll=True,
                               warm_tv=True)),
+    # bf16-stored FGP duals (r4 roofline lever: dual VMEM traffic is the
+    # bound; expect ~1.3e-4 vs_ref — CPU-measured trajectory delta)
+    ("noconcat_g1_unroll_bf16", dict(gram="noconcat", group=1,
+                                     fgp_unroll=True, fgp_dual_bf16=True)),
+    ("noconcat_g1_fori_bf16", dict(gram="noconcat", group=1,
+                                   fgp_unroll=False, fgp_dual_bf16=True)),
+    ("stencil_g2_unroll_bf16", dict(gram="stencil", group=2,
+                                    fgp_unroll=True, fgp_dual_bf16=True)),
 ]
 if len(sys.argv) > 1:
     sel = set(sys.argv[1:])
@@ -72,6 +80,7 @@ def make_fn(cfg):
             interpret=interp, method="fista", gram=gram, taps=tp,
             group=cfg["group"], fgp_unroll=cfg["fgp_unroll"],
             warm_tv=cfg.get("warm_tv", False),
+            fgp_dual_bf16=cfg.get("fgp_dual_bf16", False),
         )
 
     return jax.jit(f)
