@@ -54,6 +54,7 @@ from .models.solvers import (
     PDHG,
     PseudoInverse,
     SplitBregman,
+    masked_vmap_scheduler,
     pcg,
     solve,
     solve_batched,

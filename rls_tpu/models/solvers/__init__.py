@@ -1,6 +1,7 @@
 from .admm import ADMM
 from .base import (
     LinearSolver,
+    masked_vmap_scheduler,
     pcg,
     solver_convergence,
     solver_solution,
@@ -23,6 +24,7 @@ from .splitbregman import SplitBregman
 
 __all__ = [
     "LinearSolver",
+    "masked_vmap_scheduler",
     "solve",
     "solve_trace",
     "solve_with_callbacks",

@@ -406,31 +406,26 @@ def solve_with_callbacks(solver: LinearSolver, b, callbacks=None, x0=None):
     return solver.solution(state)
 
 
-def solve_batched(solver: LinearSolver, B, x0=None):
-    """Multi-RHS solve: columns of ``B`` (m × K) are independent problems.
-
-    vmap over per-problem states with an `active` mask folded into the loop
-    condition — the TPU-native replacement of the reference's
+def masked_vmap_scheduler(solver: LinearSolver, states, active0):
+    """Default `solve_batched` scheduling policy: one masked-vmap step of
+    EVERY still-active problem per outer iteration, inside a jittable
+    `lax.while_loop` — the TPU-native replacement of the reference's
     SequentialState/MultiThreadingState schedulers
-    (/root/reference/src/MultiThreading.jl:52-78): every still-active problem
-    advances one iteration per outer step; finished problems are frozen via
-    masked updates. Returns an n × K matrix (reference hcat gather)."""
-    sr = _as_split_real(solver)
-    if sr is not None:
-        x0e = None if x0 is None else sr.embed_b(x0)
-        xs = jax.jit(lambda BB: solve_batched(sr.inner, BB, x0e))(
-            sr.embed_b(B))
-        return sr.assemble(xs)
-    B = jnp.asarray(B)
-    K = B.shape[1]
+    (/root/reference/src/MultiThreading.jl:52-78). Finished problems are
+    frozen via masked updates.
 
-    if x0 is None:
-        init_fn = lambda col: solver.init(col)
-    else:
-        init_fn = lambda col: solver.init(col, x0)
-    states = jax.vmap(init_fn)(B.T)
-    active0 = jnp.ones((K,), bool)
-
+    Scheduler contract (the custom-scheduling seam, mirroring the
+    reference's ``solve!(solver, B; scheduler=...)`` extension point,
+    /root/reference/docs/src/literate/howto/multi_threading.jl:45-67):
+    a scheduler is ``f(solver, states, active0) -> final_states`` where
+    ``states`` is the vmap-stacked per-problem state pytree (leading axis
+    = problem index) and ``active0`` the (K,) initial liveness mask. It
+    must return the stacked states after every problem has converged (or
+    its budget is spent); `solve_batched` applies `finalize`/`solution`
+    per problem afterwards. Custom schedulers may step problems in any
+    order or grouping — chunked, priority-ordered, device-pinned — using
+    `jax.vmap(solver.step)` / `jax.vmap(solver.done)` or per-problem
+    `solver.step` directly (see examples/custom_scheduler.py)."""
     vstep = jax.vmap(solver.step)
     vdone = jax.vmap(solver.done)
 
@@ -446,6 +441,40 @@ def solve_batched(solver: LinearSolver, B, x0=None):
         return states, active
 
     states, _ = lax.while_loop(cond, body, (states, active0))
+    return states
+
+
+def solve_batched(solver: LinearSolver, B, x0=None, scheduler=None):
+    """Multi-RHS solve: columns of ``B`` (m × K) are independent problems.
+
+    ``scheduler`` (default `masked_vmap_scheduler`) controls how the
+    per-problem states advance — the user-pluggable batch-scheduling seam
+    mirroring the reference's ``solve!(solver, B; scheduler=...)``
+    (/root/reference/src/MultiThreading.jl:19-43,
+    docs/src/literate/howto/multi_threading.jl:45-67). See
+    `masked_vmap_scheduler` for the contract and
+    examples/custom_scheduler.py for a worked custom policy.
+    Returns an n × K matrix (reference hcat gather)."""
+    sr = _as_split_real(solver)
+    if sr is not None:
+        x0e = None if x0 is None else sr.embed_b(x0)
+        xs = jax.jit(
+            lambda BB: solve_batched(sr.inner, BB, x0e, scheduler=scheduler)
+        )(sr.embed_b(B))
+        return sr.assemble(xs)
+    if scheduler is None:
+        scheduler = masked_vmap_scheduler
+    B = jnp.asarray(B)
+    K = B.shape[1]
+
+    if x0 is None:
+        init_fn = lambda col: solver.init(col)
+    else:
+        init_fn = lambda col: solver.init(col, x0)
+    states = jax.vmap(init_fn)(B.T)
+    active0 = jnp.ones((K,), bool)
+
+    states = scheduler(solver, states, active0)
     states = jax.vmap(solver.finalize)(states)
     xs = jax.vmap(solver.solution)(states)  # (K, n)
     return xs.T
