@@ -85,12 +85,15 @@ def _jacobi_w_v(a, sweeps, unroll: bool | None = None):
     """Shared sweep loop: returns (W, V) with a = W Vᵀ, W's columns
     orthogonal (U·diag(s)) and V orthogonal.
 
-    ``unroll=None`` picks automatically: the Python-unrolled loop (static
-    gathers, fastest run) for small blocks, a `lax.scan` over the
-    sweeps × (n−1) tournament rounds with the index tables as scan inputs
-    for larger ones — identical math, but the round body compiles ONCE
-    instead of sweeps·(n−1) times (measured: the n=128 unrolled variant
-    takes ~163 s to compile on chip; see docs/tpu.md)."""
+    ``unroll=None`` defaults to the `lax.scan` path at EVERY size: a scan
+    over the sweeps × (n−1) tournament rounds with the index tables as
+    scan inputs — identical math to the Python-unrolled loop, but the
+    round body compiles ONCE instead of sweeps·(n−1) times. The r4 chip
+    jacobi_table measured scan first-call compile ≤1 s at every n with
+    run time equal to unrolled (n=16: 1.0 s vs 184.5 s compile at an
+    identical 4.5 ms run; n=128 unrolled: ~163 s — see docs/tpu.md), so
+    the unrolled variant is strictly an OPT-IN (`unroll=True`) for
+    callers that amortize one compile over very many executions."""
     *batch, m, n = a.shape
     dt = a.dtype
     n_pad = n + (n % 2)
@@ -104,7 +107,7 @@ def _jacobi_w_v(a, sweeps, unroll: bool | None = None):
     if sweeps is None:
         sweeps = default_sweeps(n)
     if unroll is None:
-        unroll = n_pad <= 16
+        unroll = False
     perms = []
     for pairs in rounds:
         top = [p for p, q in pairs]

@@ -11,7 +11,7 @@ For every BASELINE config, solves the SAME problem twice:
 Problems are constructed from seeded numpy f64 data so both processes see
 bit-identical inputs. The orchestrator runs both modes as subprocesses
 (x64 is a process-global switch), compares solutions and data residuals,
-and writes PARITY_r04.json:
+and writes PARITY_r05.json:
 
     {config: {"sol_rel_err": ‖x_chip − x_64‖/‖x_64‖,
               "residual_rel_diff": |‖Ax−b‖_chip − ‖Ax−b‖_64| / ‖b‖}}
@@ -341,9 +341,9 @@ def main():
                 float(abs(rc - r6) / np.linalg.norm(b6)), 8),
         }
         print(json.dumps({"config": key, **report[key]}))
-    with open(os.path.join(REPO, "PARITY_r04.json"), "w") as f:
+    with open(os.path.join(REPO, "PARITY_r05.json"), "w") as f:
         json.dump(report, f, indent=1)
-    print("wrote PARITY_r04.json")
+    print("wrote PARITY_r05.json")
 
 
 if __name__ == "__main__":

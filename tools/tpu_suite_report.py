@@ -1,4 +1,4 @@
-"""Run the full test suite on the real TPU chip and write TPU_SUITE_r04.md
+"""Run the full test suite on the real TPU chip and write TPU_SUITE_r05.md
 with a per-cause skip census (VERDICT r2 item 6).
 
 Skips are attributed by reason string:
@@ -34,7 +34,7 @@ def main():
     )
     out = proc.stdout
     # keep the full run log — the markdown is a summary, not the record
-    with open(os.path.join(REPO, ".tpu_suite_r04_full.log"), "w") as f:
+    with open(os.path.join(REPO, ".tpu_suite_r05_full.log"), "w") as f:
         f.write(out + "\n--- stderr ---\n" + proc.stderr)
     tail = out.strip().splitlines()[-1] if out.strip() else ""
     reasons = Counter()
@@ -56,7 +56,7 @@ def main():
             causes[reason] += n
 
     lines = [
-        "# TPU suite run — round 4",
+        "# TPU suite run — round 5",
         "",
         "Full suite under `RLS_TPU_TEST_PLATFORM=tpu` on the tunneled",
         "v5e chip (single device).",
@@ -90,7 +90,7 @@ def main():
         for f_ in failures:
             lines.append(f"- {f_}")
     md = "\n".join(lines) + "\n"
-    path = os.path.join(REPO, "TPU_SUITE_r04.md")
+    path = os.path.join(REPO, "TPU_SUITE_r05.md")
     with open(path, "w") as f:
         f.write(md)
     print(md)
