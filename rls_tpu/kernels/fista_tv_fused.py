@@ -906,10 +906,12 @@ def solve_pgm_tv_fused(
         # own explicit interpret-mode test).
         fgp_unroll = not (restart or rel_tol is not None) and not interpret
     if fgp_dual_bf16 is None:
-        # bf16-stored FGP duals (the r4 roofline ablation's named lever:
-        # per-iteration dual VMEM traffic IS the flagship bound) stay
-        # OFF by default until the interleaved chip A/B (tools/ab_fgp.py
-        # bf16 variants) demonstrates speed AND ≤1e-4 parity.
+        # bf16-stored FGP duals measured NEGATIVE on chip (interleaved
+        # A/B, AB_FLAGSHIP_r05.json: 440.9/438.3 p/s median for the
+        # concat-roll/pre-rolled schemes vs 451.5-457.8 for f32, parity
+        # 7.3e-5): the kernel is bound by per-op issue latency, not dual
+        # VMEM bytes, so the conversions cost more than the bytes save
+        # (docs/tpu.md roofline section). Stays opt-in.
         fgp_dual_bf16 = False
     op_ = solver.AHA.A
     H_, W_ = op_.im_shape
