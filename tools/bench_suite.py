@@ -24,22 +24,28 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(f, *args, reps=5):
+def timeit(f, *args, reps=5, n_windows=5):
+    """Best + per-window seconds; the shared tunneled chip shows up to
+    ~2x window variance, so every config records its spread (VERDICT r4
+    item 8: a best-only capture makes the next regression invisible)."""
     import numpy as np
 
     out = f(*args)
     np.asarray(out)
-    best = float("inf")
-    for _ in range(3):
+    windows = []
+    for _ in range(n_windows):
         t0 = time.perf_counter()
         for _ in range(reps):
             out = f(*args)
         np.asarray(out)
-        best = min(best, (time.perf_counter() - t0) / reps)
-    return best
+        windows.append((time.perf_counter() - t0) / reps)
+    return min(windows), windows
 
 
-def emit(name, err, dt, unit_count, unit):
+def emit(name, err, dt_windows, unit_count, unit):
+    import numpy as np
+
+    dt, windows = dt_windows
     print(
         json.dumps(
             {
@@ -47,6 +53,10 @@ def emit(name, err, dt, unit_count, unit):
                 "rel_err": round(float(err), 4),
                 "ms": round(dt * 1e3, 1),
                 "throughput": round(unit_count / dt, 1),
+                "median_throughput": round(
+                    unit_count / float(np.median(windows)), 1),
+                "windows_throughput": [
+                    round(unit_count / w, 1) for w in windows],
                 "unit": unit,
             }
         )
