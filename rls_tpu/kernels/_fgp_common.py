@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops._precise import split_bf16
+from ..ops._precise import split3_bf16, split_bf16
 
 __all__ = [
     "make_tv_fgp",
@@ -37,6 +37,7 @@ __all__ = [
     "make_sepconv_stencil_ops",
     "make_sepconv_normal_stencil_window",
     "make_split_dft",
+    "make_split_dft3",
     "make_sense_normal",
     "rne_bf16_f32",
     "split_bf16",
@@ -216,6 +217,58 @@ def make_split_dft(lfr, lfi, rfr, rfi, dtype, full4: bool = False):
         li = lmul(lfr, ki) - lmul(lfi, kr)
         vr = rmul(lr, rfr) + rmul(li, rfi)
         vi = rmul(li, rfr) - rmul(lr, rfi)
+        return vr, vi
+
+    return cfwd, cadj
+
+
+def make_split_dft3(l3fr, l3fi, r3fr, r3fi, dtype):
+    """3-way-compensated split-real 2-D DFT sandwiches `(cfwd, cadj)`.
+
+    `l3fr/l3fi` are the `[hi; mid; lo]` output-stacked left factors
+    (3H, H) from `ops/_precise.stack3_left`, `r3fr/r3fi` the (W, 3W)
+    right factors from `stack3_right`. Six products per multiply —
+    hh + hm + mh + mm + hl + lh, dropping ml/lm/ll at ≲2⁻²⁴ — reach
+    ~1e-7 relative where the 2-way 4-term form caps at ~2⁻¹⁶ (the lo
+    field of a 2-way split holds only 8 of the remaining 16 mantissa
+    bits). Every factor operand is exactly bf16-representable, so chip
+    MXU math equals CPU f32 math. Cost: 6 unit matmuls per multiply in
+    4 issues (two double-output stacks + two singles) vs full4's 4.
+    Used by the SplitBregman SENSE kernel, whose Bregman fields
+    integrate matvec error across ~256 chained CG steps."""
+    H = l3fr.shape[1]
+    W = r3fr.shape[0]
+
+    def lmul(l3, u):
+        uh, um, ul = split3_bf16(u)
+        l2 = l3[: 2 * H]  # [Lh; Lm]
+        a = jnp.dot(l2, uh, preferred_element_type=dtype)  # Lh·uh, Lm·uh
+        b = jnp.dot(l2, um, preferred_element_type=dtype)  # Lh·um, Lm·um
+        c = jnp.dot(l3[:H], ul, preferred_element_type=dtype)  # Lh·ul
+        d = jnp.dot(l3[2 * H :], uh, preferred_element_type=dtype)  # Ll·uh
+        return a[:H] + a[H:] + b[:H] + b[H:] + c + d
+
+    def rmul(u, r3):
+        uh, um, ul = split3_bf16(u)
+        r2 = r3[:, : 2 * W]  # [Rh Rm]
+        a = jnp.dot(uh, r2, preferred_element_type=dtype)
+        b = jnp.dot(um, r2, preferred_element_type=dtype)
+        c = jnp.dot(ul, r3[:, :W], preferred_element_type=dtype)
+        d = jnp.dot(uh, r3[:, 2 * W :], preferred_element_type=dtype)
+        return a[:, :W] + a[:, W:] + b[:, :W] + b[:, W:] + c + d
+
+    def cfwd(ur, ui):
+        lr = lmul(l3fr, ur) - lmul(l3fi, ui)
+        li = lmul(l3fr, ui) + lmul(l3fi, ur)
+        kr = rmul(lr, r3fr) - rmul(li, r3fi)
+        ki = rmul(lr, r3fi) + rmul(li, r3fr)
+        return kr, ki
+
+    def cadj(kr, ki):
+        lr = lmul(l3fr, kr) + lmul(l3fi, ki)
+        li = lmul(l3fr, ki) - lmul(l3fi, kr)
+        vr = rmul(lr, r3fr) + rmul(li, r3fi)
+        vi = rmul(li, r3fr) - rmul(lr, r3fi)
         return vr, vi
 
     return cfwd, cadj
@@ -534,12 +587,22 @@ def _fgp_grid(H: int, W: int, dtype, groups: int):
         th = roll_any(ph, 1, 1) - ph
         return tv + th
 
-    return GH, not_last_row, not_last_col, gv, gh, gt
+    # pre-rolled recombination (see _fgp_unrolled_scaled prerolls)
+    def rollv(u):
+        return roll_any(u, 1, 0)
+
+    def rollh(u):
+        return roll_any(u, 1, 1)
+
+    def gt2(sv, v, sh, h):
+        return sv - v + sh - h
+
+    return GH, not_last_row, not_last_col, gv, gh, gt, (rollv, rollh, gt2)
 
 
 def _fgp_unrolled_scaled(
     xg, lam_tv, iterations, duals, gv, gh, gt, not_last_row, not_last_col,
-    store=None,
+    store=None, prerolls=None,
 ):
     """Statically-unrolled λ-scaled FGP dual loop (duals carry P = λ·p,
     momentum t2 baked as constants). ``duals=None`` is the cold start —
@@ -547,8 +610,22 @@ def _fgp_unrolled_scaled(
     λ = 0 clamp pins the duals to exactly zero so the prox degenerates to
     the identity. ``store`` sets the dual-field STORAGE dtype (see
     `_dual_casts`); arithmetic stays in xg's dtype. Returns
-    ``(x, (pv, ph))`` with the duals in the storage dtype."""
+    ``(x, (pv, ph))`` with the duals in the storage dtype.
+
+    ``prerolls=(rollv, rollh, gt2)`` switches a 16-bit store to the
+    PRE-ROLLED scheme: Mosaic's rotate is 32-bit-only and the
+    concat-of-slices roll on packed bf16 costs the relayout what the
+    bandwidth saves (chip A/B r5: 440.9 vs 451.5 p/s median), so instead
+    the momentum field's +1-shifted copies are produced by f32
+    `pltpu.roll` at the moment the field is computed and stored in bf16
+    alongside it — the 16-bit fields are then only ever read
+    elementwise. gt2 recombines them: ``gt(rv, rh) ==
+    gt2(roll(rv), rv, roll(rh), rh)`` (rounding commutes with the
+    permutation, so rolling before the downcast is exact)."""
     dn, up = _dual_casts(xg.dtype, store)
+    pre = prerolls is not None and store is not None
+    if pre:
+        rollv, rollh, gt2 = prerolls
     if duals is None:
         if iterations == 0:
             z = dn(xg * 0.0)
@@ -556,20 +633,33 @@ def _fgp_unrolled_scaled(
         pv_f = jnp.clip(gv(xg) * 0.125, -lam_tv, lam_tv) * not_last_row
         ph_f = jnp.clip(gh(xg) * 0.125, -lam_tv, lam_tv) * not_last_col
         pv, ph = dn(pv_f), dn(ph_f)
+        if pre:
+            srv, srh = dn(rollv(pv_f)), dn(rollh(ph_f))
         start = 1
     else:
         pv, ph = duals
+        if pre:
+            srv, srh = dn(rollv(up(pv))), dn(rollh(up(ph)))
         start = 0
     rv, rh = pv, ph  # momentum restart: r ← p, t ← 1
     t2s = _fgp_t2_schedule(iterations)
     for i in range(start, iterations):
-        xtmp = xg - up(gt(rv, rh))
+        if pre:
+            xtmp = xg - gt2(up(srv), up(rv), up(srh), up(rh))
+        else:
+            xtmp = xg - up(gt(rv, rh))
         qv_f = jnp.clip(up(rv) + gv(xtmp) * 0.125, -lam_tv, lam_tv) * not_last_row
         qh_f = jnp.clip(up(rh) + gh(xtmp) * 0.125, -lam_tv, lam_tv) * not_last_col
         t2 = t2s[i]  # t2s[0] = 0 ⇒ iteration 0 is the plain step
-        rv = dn((1.0 + t2) * qv_f - t2 * up(pv))
-        rh = dn((1.0 + t2) * qh_f - t2 * up(ph))
+        rv_f = (1.0 + t2) * qv_f - t2 * up(pv)
+        rh_f = (1.0 + t2) * qh_f - t2 * up(ph)
+        if pre:
+            srv, srh = dn(rollv(rv_f)), dn(rollh(rh_f))
+        rv, rh = dn(rv_f), dn(rh_f)
         pv, ph = dn(qv_f), dn(qh_f)
+    if pre:
+        # final adjoint: one-time upcast, f32 rolls
+        return xg - gt(up(pv), up(ph)), (pv, ph)
     return xg - up(gt(pv, ph)), (pv, ph)
 
 
@@ -602,7 +692,7 @@ def make_tv_fgp(H: int, W: int, dtype, groups: int = 1, unroll: bool = False,
     ``store`` sets the dual-field storage dtype (see `_dual_casts`);
     bf16 halves dual VMEM traffic at a ≤2⁻⁹·λ inexact-prox perturbation.
     """
-    GH, not_last_row, not_last_col, gv, gh, gt = _fgp_grid(
+    GH, not_last_row, not_last_col, gv, gh, gt, prerolls = _fgp_grid(
         H, W, dtype, groups
     )
     dn, up = _dual_casts(dtype, store)
@@ -641,6 +731,7 @@ def make_tv_fgp(H: int, W: int, dtype, groups: int = 1, unroll: bool = False,
         return _fgp_unrolled_scaled(
             xg, lam_tv, iterations, None,
             gv, gh, gt, not_last_row, not_last_col, store=store,
+            prerolls=prerolls,
         )[0]
 
     return gt, (fgp_unrolled if unroll else fgp_loop)
@@ -668,7 +759,7 @@ def make_tv_fgp_stateful(
     rows every iteration, so stale duals can never leak outside the
     feasible set.
     """
-    GH, not_last_row, not_last_col, gv, gh, gt = _fgp_grid(
+    GH, not_last_row, not_last_col, gv, gh, gt, prerolls = _fgp_grid(
         H, W, dtype, groups
     )
     dn, up = _dual_casts(dtype, store)
@@ -677,6 +768,7 @@ def make_tv_fgp_stateful(
         return _fgp_unrolled_scaled(
             xg, lam_tv, iterations, duals,
             gv, gh, gt, not_last_row, not_last_col, store=store,
+            prerolls=prerolls,
         )
 
     def fgp_loop(xg, lam_tv, iterations: int, duals):

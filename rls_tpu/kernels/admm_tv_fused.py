@@ -279,19 +279,32 @@ def solve_admm_tv_fused(solver, B_mat, interpret: bool | None = None):
 
     B_mat = jnp.asarray(B_mat)
     bt = B_mat.T
-    x0hat_b = jax.vmap(solver.A.rmv)(bt).reshape(-1, H, W)
+    if op.taps_len is not None and solver.A is op:
+        # exact-f32 Aᴴb seed (see SeparableConvOperator.rmv_stencil):
+        # the compensated-MXU rmv's ~2.5e-5 residual is a systematic
+        # bias on every outer iteration's CG RHS, which ADMM integrates
+        x0hat_b = jax.vmap(op.rmv_stencil)(bt).reshape(-1, H, W)
+    else:
+        x0hat_b = jax.vmap(solver.A.rmv)(bt).reshape(-1, H, W)
     scale = jax.vmap(
         lambda b: normalization_factor(solver.normalize_reg, solver.A, b)
     )(bt)
     lam_eff = reg.get_lam() * scale
     taps = None
-    if (W % 64 or H % 64) and op.taps_len is not None:
-        # the compensated gram's in-kernel lane-dim REF slices (offset
-        # 2H) need H, W % 64 == 0 on Mosaic — otherwise use the exact
-        # VPU stencil Gram (factor inputs become unused dummies)
+    if op.taps_len is not None:
+        # EXACT f32 VPU stencil Gram whenever taps exist — not just for
+        # non-128-aligned widths. ADMM's scaled dual integrates every CG
+        # x-error across outer iterations, and the compensated MXU
+        # sandwich's ~2.5e-5 residual (vs f64) is what held
+        # admm_tv_deblur256 parity at ~1e-4 for three rounds (r5
+        # diagnosis: the composed CPU-f32 trajectory sits at 2.2e-6 from
+        # f64 at the same config, so the kernel matvec was the gap, not
+        # trajectory sensitivity). Short-tap stencils are also cheap:
+        # ~4k VPU ops/pixel vs the sandwich's 2(3N) MACs/pixel.
         taps = op.taps_hw()
         lcat = rcat = jnp.zeros((1, 1), jnp.float32)
     else:
+        # dense banded factors without taps: compensated MXU (full4)
         lcat, rcat = op.cat["normal"]
     if interpret is None:
         interpret = jax.default_backend() == "cpu"

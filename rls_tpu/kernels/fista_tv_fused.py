@@ -937,7 +937,12 @@ def solve_pgm_tv_fused(
 
     B_mat = jnp.asarray(B_mat)
     bt = B_mat.T  # (K, n)
-    x0hat_b = jax.vmap(solver.A.rmv)(bt).reshape(-1, H, W)
+    if op.taps_len is not None and solver.A is op:
+        # exact-f32 Aᴴb seed (SeparableConvOperator.rmv_stencil): free
+        # parity headroom vs the compensated rmv's ~2.5e-5 residual
+        x0hat_b = jax.vmap(op.rmv_stencil)(bt).reshape(-1, H, W)
+    else:
+        x0hat_b = jax.vmap(solver.A.rmv)(bt).reshape(-1, H, W)
     from ..models.regularization import normalization_factor
 
     scale = jax.vmap(
@@ -982,7 +987,10 @@ def _solve_pgm_tv_fused_stencil(
     taps = op.taps_hw()
     B_mat = jnp.asarray(B_mat)
     bt = B_mat.T
-    x0hat_b = jax.vmap(solver.A.rmv)(bt).reshape(-1, H, W)
+    if solver.A is op:
+        x0hat_b = jax.vmap(op.rmv_stencil)(bt).reshape(-1, H, W)
+    else:
+        x0hat_b = jax.vmap(solver.A.rmv)(bt).reshape(-1, H, W)
     from ..models.regularization import normalization_factor
 
     scale = jax.vmap(

@@ -36,7 +36,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ._fgp_common import make_sense_normal, make_split_dft, make_tv_fgp
+from ._fgp_common import make_sense_normal, make_split_dft3, make_tv_fgp
 
 __all__ = [
     "splitbregman_l1_tv_sense_fused",
@@ -47,10 +47,10 @@ __all__ = [
 
 def _kernel(
     scal_ref,  # SMEM (B, 4): per-problem [rho1, rho2, lam1_eff, lam2_eff]
-    lfr_ref,  # VMEM (H, 3H)
-    lfi_ref,  # VMEM (H, 3H)
-    rfr_ref,  # VMEM (3W, W)
-    rfi_ref,  # VMEM (3W, W)
+    lfr_ref,  # VMEM (3H, H): [hi; mid; lo] 3-way left factor stack
+    lfi_ref,  # VMEM (3H, H)
+    rfr_ref,  # VMEM (W, 3W): [hi mid lo] 3-way right factor stack
+    rfi_ref,  # VMEM (W, 3W)
     mask_ref,  # VMEM (H, W)
     cr_ref,  # VMEM (C, H, W)
     ci_ref,  # VMEM (C, H, W)
@@ -75,14 +75,15 @@ def _kernel(
     H, W = x0r.shape
     f32 = x0r.dtype
 
-    # full 4-term compensation: this kernel chains iterations ×
-    # iterations_inner × cg_iterations (≈256) CG steps on this matvec,
-    # and the 3-term form's dropped lo·lo (~2⁻¹⁶/multiply) accumulates
-    # to ~1e-4 trajectory error vs f64 (docs/tpu.md 4-term rule;
-    # measured: parity_suite splitbregman_sense128 1.01e-4 → see r4).
-    cfwd, cadj = make_split_dft(
+    # 3-WAY compensation (r5): this kernel chains iterations ×
+    # iterations_inner × cg_iterations (≈256) CG steps on this matvec
+    # and its Bregman fields integrate the residual. The 2-way 4-term
+    # form caps at ~2⁻¹⁶ per multiply (the lo field holds only 8 of the
+    # remaining 16 mantissa bits) — measured 6.7e-5 trajectory error vs
+    # f64 (PARITY r4/r5); the hi/mid/lo 6-product scheme reaches ~2⁻²⁴
+    # (see ops/_precise.split3_bf16 and docs/tpu.md).
+    cfwd, cadj = make_split_dft3(
         lfr_ref[...], lfi_ref[...], rfr_ref[...], rfi_ref[...], f32,
-        full4=True,
     )
     normal = make_sense_normal(cfwd, cadj, mask, cr_ref, ci_ref, n_coils)
     _, fgp_n = make_tv_fgp(H, W, f32)
@@ -178,9 +179,38 @@ def _kernel(
     out_ref[0, 1] = xi
 
 
+def _dft_cat3(op):
+    """3-way [hi; mid; lo] DFT factor stacks for `make_split_dft3`,
+    rebuilt from the operator's exact f32 factors (the 2-way cat's
+    hi + lo reconstructs them bit-exactly). Left stacks are (3H, H),
+    right stacks (W, 3W)."""
+    import numpy as np
+
+    from ..ops._precise import stack3_left, stack3_right
+
+    cat = op.cat
+    H = cat["l_fr"].shape[0]
+    W = cat["r_fr"].shape[1]
+    out = {}
+    # numpy-side slicing: the cat arrays are concrete operator
+    # attributes, but jnp __getitem__ inside a jit trace would return
+    # tracers that np.asarray cannot consume
+    for key in ("l_fr", "l_fi"):
+        c = np.asarray(cat[key])
+        f = c[:, :H] + c[:, 2 * H :]
+        # stack3_left's (3n, n) [hi; mid; lo] vertical layout is what
+        # make_split_dft3's lmul slices
+        out[key] = jnp.asarray(stack3_left(f))
+    for key in ("r_fr", "r_fi"):
+        c = np.asarray(cat[key])
+        f = c[:W] + c[2 * W :]
+        out[key] = jnp.asarray(stack3_right(f))
+    return out
+
+
 def splitbregman_l1_tv_sense_fused(
     x0hat_b,  # (B, 2, H, W) split re/im Aᴴb
-    cat,  # dft_real._dft_cat dict
+    cat3,  # _dft_cat3 dict: 3-way [hi; mid; lo] factor stacks
     mask,  # (H, W)
     coils_r,  # (C, H, W)
     coils_i,  # (C, H, W)
@@ -218,10 +248,10 @@ def splitbregman_l1_tv_sense_fused(
         grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((H, 3 * H), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, 3 * H), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * W, W), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * W, W), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * H, H), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * H, H), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, 3 * W), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, 3 * W), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, W), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, H, W), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, H, W), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -236,7 +266,7 @@ def splitbregman_l1_tv_sense_fused(
         interpret=interpret,
     )(
         scal,
-        cat["l_fr"], cat["l_fi"], cat["r_fr"], cat["r_fi"],
+        cat3["l_fr"], cat3["l_fi"], cat3["r_fr"], cat3["r_fi"],
         mask, coils_r, coils_i, x0hat_b,
     )
 
@@ -351,23 +381,24 @@ def solve_splitbregman_l1_tv_fused(solver, B_mat, interpret: bool | None = None)
 
     B_mat = jnp.asarray(B_mat)
     bt = B_mat.T
-    # x0 = Aᴴb with the same FULL 4-term compensation the kernel uses —
-    # a 3-term op.rmv here would seed the whole Bregman data term with
-    # the dropped-lo·lo error (~2⁻¹⁶) that the kernel then amplifies.
-    cfwd4, cadj4 = make_split_dft(
-        op.cat["l_fr"], op.cat["l_fi"], op.cat["r_fr"], op.cat["r_fi"],
-        jnp.float32, full4=True,
+    # x0 = Aᴴb with the SAME 3-way compensation the kernel uses — a
+    # lower-order op.rmv here would seed the whole Bregman data term
+    # with a ~2⁻¹⁶ systematic bias that the solve then integrates.
+    cat3 = _dft_cat3(op)
+    cfwd3, cadj3 = make_split_dft3(
+        cat3["l_fr"], cat3["l_fi"], cat3["r_fr"], cat3["r_fi"],
+        jnp.float32,
     )
     C = op.coils_r.shape[0]
 
-    def _rmv4(y):
+    def _rmv3(y):
         k = y.reshape(C, 2, H, W)
-        ur, ui = jax.vmap(cadj4)(k[:, 0] * op.mask, k[:, 1] * op.mask)
+        ur, ui = jax.vmap(cadj3)(k[:, 0] * op.mask, k[:, 1] * op.mask)
         xr = jnp.sum(op.coils_r * ur + op.coils_i * ui, axis=0)
         xi = jnp.sum(op.coils_r * ui - op.coils_i * ur, axis=0)
         return jnp.stack([xr, xi])
 
-    x0hat_b = jax.vmap(_rmv4)(bt)  # (K, 2, H, W) split [re; im]
+    x0hat_b = jax.vmap(_rmv3)(bt)  # (K, 2, H, W) split [re; im]
     scale = jax.vmap(
         lambda b: normalization_factor(solver.normalize_reg, solver.A, b)
     )(bt)
@@ -377,7 +408,7 @@ def solve_splitbregman_l1_tv_fused(solver, B_mat, interpret: bool | None = None)
         interpret = jax.default_backend() == "cpu"
     out = splitbregman_l1_tv_sense_fused(
         x0hat_b,
-        op.cat,
+        cat3,
         op.mask,
         op.coils_r,
         op.coils_i,

@@ -25,9 +25,12 @@ from jax import lax
 
 __all__ = [
     "split_bf16",
+    "split3_bf16",
     "np_split_bf16",
     "stack_left",
     "stack_right",
+    "stack3_left",
+    "stack3_right",
     "mm_left",
     "mm_right",
     "mm_both",
@@ -39,6 +42,20 @@ def split_bf16(v):
     vi = lax.bitcast_convert_type(v, jnp.uint32)
     hi = lax.bitcast_convert_type(vi & jnp.uint32(0xFFFF0000), jnp.float32)
     return hi, v - hi
+
+
+def split3_bf16(v):
+    """Exact hi/mid/lo split of f32 onto the bf16 grid: hi and mid are
+    exactly bf16-representable, lo carries the last ~8 mantissa bits
+    (its own MXU bf16 rounding is then ~2⁻²⁴ of |v| — full f32). The
+    2-way split caps compensated products at ~2⁻¹⁶ relative (the lo
+    field itself only holds 8 of the remaining 16 bits); the 6-product
+    3-way scheme (see kernels/_fgp_common.make_split_dft3) reaches
+    ~2⁻²⁴ — what error-integrating solvers like SplitBregman need to
+    clear the 5e-5 parity margin."""
+    hi, r = split_bf16(v)
+    mid, lo = split_bf16(r)
+    return hi, mid, lo
 
 
 def np_split_bf16(m):
@@ -64,6 +81,36 @@ def stack_right(m):
 
     hi, lo = np_split_bf16(m)
     return np.vstack([hi, hi, lo])
+
+
+def _np_split3(m):
+    import numpy as np
+
+    hi, r = np_split_bf16(m)
+    mid, lo = np_split_bf16(r)
+    # pre-truncate lo to the bf16 grid so every factor operand is
+    # EXACTLY representable — the on-chip MXU math then equals the
+    # CPU f32 math bit-for-bit (dropping only the ~2⁻³² residue)
+    lo_t = (lo.view(np.uint32) & np.uint32(0xFFFF0000)).view(np.float32)
+    return hi, mid, lo_t
+
+
+def stack3_left(m):
+    """(3n, n) ``[hi; mid; lo]`` 3-way stacking of a constant LEFT
+    factor (consumed by make_split_dft3: left-mult output stacking)."""
+    import numpy as np
+
+    hi, mid, lo = _np_split3(m)
+    return np.vstack([hi, mid, lo])
+
+
+def stack3_right(m):
+    """(n, 3n) ``[hi mid lo]`` 3-way stacking of a constant RIGHT
+    factor."""
+    import numpy as np
+
+    hi, mid, lo = _np_split3(m)
+    return np.hstack([hi, mid, lo])
 
 
 def mm_left(l_cat, x):

@@ -259,3 +259,38 @@ class SeparableConvOperator(LinearOperator):
 
     def normal(self, x):
         return self._sandwich(x, self.bh, self.bw.T, "normal")
+
+    def _stencil_pass(self, img, taps, axis, adjoint):
+        n = img.shape[axis]
+        shape = (-1, 1) if axis == 0 else (1, -1)
+        idx = jnp.arange(n).reshape(shape)
+        r = len(taps) // 2
+        acc = None
+        for i, t in enumerate(taps):
+            s = i - r
+            if adjoint:
+                s = -s
+            if s == 0:
+                term = t * img
+            else:
+                mask = (idx < n - s) if s > 0 else (idx >= -s)
+                term = t * jnp.roll(img, -s, axis) * mask.astype(img.dtype)
+            acc = term if acc is None else acc + term
+        return acc
+
+    def rmv_stencil(self, y):
+        """EXACT f32 adjoint via shift-and-add stencil passes — no MXU
+        at all (pure VPU elementwise, exact on bf16-matmul runtimes).
+        The compensated `rmv` sandwich carries a ~2.5e-5 residual vs
+        f64; as the Aᴴb SEED of an error-integrating solve (ADMM/
+        SplitBregman x0hat) that residual is a systematic bias the CG
+        amplifies — the r5 parity diagnosis that held admm_tv_deblur256
+        at ~1e-4 after every in-kernel fix. O(k·n) per axis, so only
+        sensible for short taps; requires tap metadata
+        (`from_taps`/`from_kernel` constructors)."""
+        taps_h, taps_w = self.taps_hw()
+        img = self._stencil_pass(
+            y.reshape(self.im_shape), taps_h, 0, adjoint=True
+        )
+        img = self._stencil_pass(img, taps_w, 1, adjoint=True)
+        return img.reshape(y.shape)

@@ -1842,3 +1842,64 @@ def test_gram_noconcat_full4_matches_f64(rng):
     scale = np.abs(ref).max()
     assert e4 / scale < 5e-7, e4 / scale
     assert e4 <= e3, (e3, e4)
+
+
+def test_split3_bf16_invariants(rng):
+    """3-way split: exact reconstruction, hi/mid exactly on the bf16
+    grid (so MXU rounding is a no-op for them), lo at ~2^-17 of v (its
+    own bf16 rounding is then ~2^-25 of v — full f32)."""
+    from rls_tpu.ops._precise import split3_bf16
+
+    v = jnp.asarray(rng.normal(size=(64, 64)).astype(np.float32)) * 37.3
+    hi, mid, lo = split3_bf16(v)
+    np.testing.assert_array_equal(np.asarray(hi + mid + lo), np.asarray(v))
+    for part in (hi, mid):
+        p = np.asarray(part)
+        bits = p.view(np.uint32)
+        assert (bits & np.uint32(0x0000FFFF) == 0).all()
+    assert np.abs(np.asarray(lo)).max() <= 2.0 ** -16 * np.abs(
+        np.asarray(v)).max()
+
+
+def test_split_dft3_matches_f64(rng):
+    """The 3-way-compensated DFT sandwich tracks the f64 DFT to ~1e-7
+    and is self-adjoint-consistent (SplitBregman kernel's matvec)."""
+    from rls_tpu.kernels._fgp_common import make_split_dft3
+    from rls_tpu.ops._precise import stack3_left, stack3_right
+    from rls_tpu.ops.dft_real import _dft_factors
+
+    H = W = 64
+    fr, fi = _dft_factors(H)
+    xr = rng.normal(size=(H, W)).astype(np.float32)
+    xi = rng.normal(size=(H, W)).astype(np.float32)
+    F = fr.astype(np.float64) + 1j * fi.astype(np.float64)
+    K = F @ (xr.astype(np.float64) + 1j * xi.astype(np.float64)) @ F.T
+    cf3, ca3 = make_split_dft3(
+        jnp.asarray(stack3_left(fr)), jnp.asarray(stack3_left(fi)),
+        jnp.asarray(stack3_right(fr)), jnp.asarray(stack3_right(fi)),
+        jnp.float32)
+    kr, ki = cf3(jnp.asarray(xr), jnp.asarray(xi))
+    err = np.abs((np.asarray(kr) + 1j * np.asarray(ki)) - K).max()
+    assert err / np.abs(K).max() < 1e-6
+    yr = rng.normal(size=(H, W)).astype(np.float32)
+    yi = rng.normal(size=(H, W)).astype(np.float32)
+    vr, vi = ca3(jnp.asarray(yr), jnp.asarray(yi))
+    lhs = float(np.sum(np.asarray(kr) * yr + np.asarray(ki) * yi))
+    rhs = float(np.sum(xr * np.asarray(vr) + xi * np.asarray(vi)))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-5
+
+
+def test_sepconv_rmv_stencil_exact(rng):
+    """rmv_stencil == the banded-matmul adjoint at f64 accuracy (the
+    exact-f32 Aᴴb seed of the fused ADMM/PGM paths)."""
+    n = 48
+    g = np.exp(-((np.arange(7) - 3) ** 2) / 3.0)
+    g /= g.sum()
+    op = rt.SeparableConvOperator.from_kernel(np.outer(g, g),
+                                              im_shape=(n, n))
+    y = rng.normal(size=(n * n,)).astype(np.float32)
+    a = np.asarray(op.rmv_stencil(jnp.asarray(y)))
+    ah64 = np.asarray(op.ah, np.float64)
+    aw64 = np.asarray(op.aw, np.float64)
+    ref = (ah64.T @ y.reshape(n, n).astype(np.float64) @ aw64).reshape(-1)
+    assert np.abs(a - ref).max() / np.abs(ref).max() < 1e-6
