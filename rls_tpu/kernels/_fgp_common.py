@@ -429,7 +429,8 @@ def make_sepconv_normal_stencil_window(
 
 
 def make_tv_fgp_window(H: int, W: int, n_rows: int, row0, dtype,
-                       unroll: bool = False, store=None):
+                       unroll: bool = False, store=None,
+                       opt: str | None = None):
     """Window variant of `make_tv_fgp` for row-tiled kernels (see
     `make_sepconv_normal_stencil_window` for the window convention).
 
@@ -509,6 +510,71 @@ def make_tv_fgp_window(H: int, W: int, n_rows: int, row0, dtype,
             rh = dn((1.0 + t2) * qh - t2 * up(ph))
             pv, ph = dn(qv), dn(qh)
         return xg - up(gt(pv, ph))
+
+    if opt is not None:
+        # issue-count-reduced unrolled variants, same strict-f32 math
+        # as fgp_unrolled (see _fgp_unrolled_fold/_fgp_unrolled_packed)
+        if opt not in ("fold", "pack"):
+            raise ValueError(f"unknown fgp opt {opt!r}")
+        if not unroll or store is not None:
+            raise ValueError("opt variants require unroll=True, f32 duals")
+        if opt == "fold":
+
+            def fgp_win_fold(xg, lam_tv, iterations: int):
+                bv = lam_tv * vmask
+                bh = lam_tv * hmask
+                if iterations == 0:
+                    return xg
+                y = xg * 0.125
+                pv = jnp.clip(gv(y), -bv, bv)
+                ph = jnp.clip(gh(y), -bh, bh)
+                rv, rh = pv, ph
+                t2s = _fgp_t2_schedule(iterations)
+                for i in range(1, iterations):
+                    y = (xg - gt(rv, rh)) * 0.125
+                    qv = jnp.clip(rv + gv(y), -bv, bv)
+                    qh = jnp.clip(rh + gh(y), -bh, bh)
+                    t2 = t2s[i]
+                    rv = (1.0 + t2) * qv - t2 * pv
+                    rh = (1.0 + t2) * qh - t2 * ph
+                    pv, ph = qv, qh
+                return xg - gt(pv, ph)
+
+            return gt, fgp_win_fold
+
+        maskcat = jnp.concatenate([vmask, hmask], axis=0)
+
+        def fgp_win_pack(xg, lam_tv, iterations: int):
+            lam2 = (
+                jnp.concatenate([lam_tv, lam_tv], axis=0)
+                if getattr(lam_tv, "ndim", 0) == 2
+                else lam_tv
+            )
+            bounds = lam2 * maskcat
+            if iterations == 0:
+                return xg
+            y = xg * 0.125
+            P = jnp.clip(
+                jnp.concatenate([gv(y), gh(y)], axis=0), -bounds, bounds
+            )
+            R = P
+            t2s = _fgp_t2_schedule(iterations)
+            for i in range(1, iterations):
+                rv = lax.slice_in_dim(R, 0, n_rows, axis=0)
+                rh = lax.slice_in_dim(R, n_rows, 2 * n_rows, axis=0)
+                y = (xg - gt(rv, rh)) * 0.125
+                Q = jnp.clip(
+                    R + jnp.concatenate([gv(y), gh(y)], axis=0),
+                    -bounds, bounds,
+                )
+                t2 = t2s[i]
+                R = (1.0 + t2) * Q - t2 * P
+                P = Q
+            pv = lax.slice_in_dim(P, 0, n_rows, axis=0)
+            ph = lax.slice_in_dim(P, n_rows, 2 * n_rows, axis=0)
+            return xg - gt(pv, ph)
+
+        return gt, fgp_win_pack
 
     return gt, (fgp_unrolled if unroll else fgp)
 
@@ -663,8 +729,95 @@ def _fgp_unrolled_scaled(
     return xg - up(gt(pv, ph)), (pv, ph)
 
 
+def _fgp_unrolled_fold(
+    xg, lam_tv, iterations, gv, gh, gt, not_last_row, not_last_col,
+):
+    """`_fgp_unrolled_scaled` with two issue-count reductions, both
+    identical to it in strict f32 semantics — platform FMA contraction
+    may round `r + g·⅛` once in one form and twice in the other
+    (≤1-ulp, data-dependent; the chip A/B measured rel 0.0) — (r5
+    roofline: the bound is per-op issue/dependency latency, so fewer
+    VPU ops at equal math is the remaining lever):
+
+      * the boundary mask is folded into the clamp as per-element clip
+        BOUNDS ``±λ·mask`` (computed once per call) — ``clip(q, -0, 0)``
+        pins masked rows to ±0 exactly like ``clip(q, -λ, λ)·0`` did,
+        and unmasked rows see the identical ±λ bound, so the post-clip
+        mask multiply (2 ops/iteration) disappears;
+      * the ×0.125 gradient scale is applied ONCE to the shared plane
+        (``y = xtmp·0.125``) instead of once per direction — scaling by
+        a power of two is exact in f32, so ``(roll(x)−x)·⅛ ≡
+        roll(x·⅛)−x·⅛`` bit-for-bit (1 op/iteration saved).
+
+    26 → 23 VPU plane ops per dual iteration; measured on chip via
+    tools/ab_flagship.py before any default change."""
+    bv = lam_tv * not_last_row
+    bh = lam_tv * not_last_col
+    if iterations == 0:
+        z = xg * 0.0
+        return xg, (z, z)
+    y = xg * 0.125
+    pv = jnp.clip(gv(y), -bv, bv)
+    ph = jnp.clip(gh(y), -bh, bh)
+    rv, rh = pv, ph
+    t2s = _fgp_t2_schedule(iterations)
+    for i in range(1, iterations):
+        y = (xg - gt(rv, rh)) * 0.125
+        qv = jnp.clip(rv + gv(y), -bv, bv)
+        qh = jnp.clip(rh + gh(y), -bh, bh)
+        t2 = t2s[i]
+        rv = (1.0 + t2) * qv - t2 * pv
+        rh = (1.0 + t2) * qh - t2 * ph
+        pv, ph = qv, qh
+    return xg - gt(pv, ph), (pv, ph)
+
+
+def _fgp_unrolled_packed(
+    xg, lam_tv, iterations, gv, gh, gt, maskcat, GH,
+):
+    """`_fgp_unrolled_scaled` with the dual fields PACKED along sublanes
+    as one (2·GH, W) plane ``[v; h]`` — clamp, gradient step, and
+    momentum each issue as ONE double-size VPU op instead of two, so the
+    per-iteration issue count drops 26 → ~18 at the cost of one
+    double-size concat (the packed gradient). Same math: the per-half
+    op sequence (sub, ×⅛ exact, add, clamp with ±λ·mask bounds,
+    momentum) matches `_fgp_unrolled_fold` element-for-element; only
+    the issue grouping changes (same FMA-contraction caveat). Targets the r5 roofline attribution
+    (per-op issue/dependency latency, not VMEM bytes)."""
+    # grouped kernels pass λ as a (GH, W) per-problem plane — duplicate
+    # it along the packing axis once per call
+    lam2 = (
+        jnp.concatenate([lam_tv, lam_tv], axis=0)
+        if getattr(lam_tv, "ndim", 0) == 2
+        else lam_tv
+    )
+    bounds = lam2 * maskcat  # (2GH, W): [λ·vmask; λ·hmask]
+    if iterations == 0:
+        z = xg * 0.0
+        return xg, (z, z)
+    y = xg * 0.125
+    P = jnp.clip(
+        jnp.concatenate([gv(y), gh(y)], axis=0), -bounds, bounds
+    )
+    R = P
+    t2s = _fgp_t2_schedule(iterations)
+    for i in range(1, iterations):
+        rv = lax.slice_in_dim(R, 0, GH, axis=0)
+        rh = lax.slice_in_dim(R, GH, 2 * GH, axis=0)
+        y = (xg - gt(rv, rh)) * 0.125
+        Q = jnp.clip(
+            R + jnp.concatenate([gv(y), gh(y)], axis=0), -bounds, bounds
+        )
+        t2 = t2s[i]
+        R = (1.0 + t2) * Q - t2 * P
+        P = Q
+    pv = lax.slice_in_dim(P, 0, GH, axis=0)
+    ph = lax.slice_in_dim(P, GH, 2 * GH, axis=0)
+    return xg - gt(pv, ph), (pv, ph)
+
+
 def make_tv_fgp(H: int, W: int, dtype, groups: int = 1, unroll: bool = False,
-                store=None):
+                store=None, opt: str | None = None):
     """Returns `(gt, fgp)`:
 
     `fgp(xg, lam_tv, iterations)` — the FGP dual loop solving the TV prox
@@ -691,10 +844,39 @@ def make_tv_fgp(H: int, W: int, dtype, groups: int = 1, unroll: bool = False,
 
     ``store`` sets the dual-field storage dtype (see `_dual_casts`);
     bf16 halves dual VMEM traffic at a ≤2⁻⁹·λ inexact-prox perturbation.
+
+    ``opt`` selects an issue-count-reduced unrolled variant (identical
+    to the plain unrolled loop in strict f32 semantics, ≤1-ulp under
+    platform FMA contraction; requires ``unroll=True`` and f32 duals): ``"fold"`` folds the boundary mask into the clamp
+    bounds and shares the exact ×⅛ gradient scale;``"pack"``
+    additionally stacks the two dual planes along sublanes so clamp /
+    gradient / momentum each issue as one double-size VPU op.
     """
     GH, not_last_row, not_last_col, gv, gh, gt, prerolls = _fgp_grid(
         H, W, dtype, groups
     )
+    if opt is not None:
+        if opt not in ("fold", "pack"):
+            raise ValueError(f"unknown fgp opt {opt!r}")
+        if not unroll or store is not None:
+            raise ValueError("opt variants require unroll=True, f32 duals")
+        if opt == "pack":
+            maskcat = jnp.concatenate([not_last_row, not_last_col], axis=0)
+
+            def fgp_packed(xg, lam_tv, iterations: int):
+                return _fgp_unrolled_packed(
+                    xg, lam_tv, iterations, gv, gh, gt, maskcat, GH
+                )[0]
+
+            return gt, fgp_packed
+
+        def fgp_folded(xg, lam_tv, iterations: int):
+            return _fgp_unrolled_fold(
+                xg, lam_tv, iterations, gv, gh, gt,
+                not_last_row, not_last_col,
+            )[0]
+
+        return gt, fgp_folded
     dn, up = _dual_casts(dtype, store)
     zeros = jnp.zeros((GH, W), store if store is not None else dtype)
 

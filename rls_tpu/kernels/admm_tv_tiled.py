@@ -144,7 +144,8 @@ def _kernel(
             n_rows = hi - lo
             off = t * TR - lo  # interior start within the window (static)
             _, fgp = make_tv_fgp_window(H, W, n_rows, lo, f32,
-                                        unroll=fgp_unroll)
+                                        unroll=fgp_unroll,
+                                        opt="fold" if fgp_unroll else None)
             xg = x_s[lo:hi, :] + u_s[lo:hi, :]
             z_new = fgp(xg, lam_z, tv_iterations)
             q_s[t * TR : (t + 1) * TR, :] = z_new[off : off + TR, :]

@@ -128,6 +128,7 @@ def _kernel(
     rel_tol: float | None = None,
     fgp_unroll: bool = False,
     fgp_dual_bf16: bool = False,
+    fgp_opt: str | None = None,
     sigma_fac: float = 1.0,
     warm_tv: bool = False,
 ):
@@ -164,7 +165,8 @@ def _kernel(
             dual_dtype=store,
         )
         return
-    _, fgp_n = make_tv_fgp(H, W, f32, unroll=fgp_unroll, store=store)
+    _, fgp_n = make_tv_fgp(H, W, f32, unroll=fgp_unroll, store=store,
+                           opt=fgp_opt)
 
     def fgp(xg, lam_tv):
         return fgp_n(xg, lam_tv, tv_iterations)
@@ -468,6 +470,7 @@ def _kernel_grouped(
     rel_tol: float | None = None,
     fgp_unroll: bool = False,
     fgp_dual_bf16: bool = False,
+    fgp_opt: str | None = None,
     sigma_fac: float = 1.0,
     warm_tv: bool = False,
 ):
@@ -537,7 +540,7 @@ def _kernel_grouped(
         return
 
     _, fgp_n = make_tv_fgp(H, W, f32, groups=G, unroll=fgp_unroll,
-                           store=store)
+                           store=store, opt=fgp_opt)
 
     def fgp(xg, lam_tv):
         return fgp_n(xg, lam_tv, tv_iterations)
@@ -574,6 +577,7 @@ def fista_tv_fused(
     rel_tol: float | None = None,
     fgp_unroll: bool = False,
     fgp_dual_bf16: bool = False,
+    fgp_opt: str | None = None,
     sigma_fac: float = 1.0,
     warm_tv: bool = False,
 ):
@@ -595,6 +599,12 @@ def fista_tv_fused(
         raise ValueError(
             "warm_tv is not implemented for the dynamic (restart/early-"
             "exit) schedules yet"
+        )
+    if fgp_opt is not None and (not fgp_unroll or fgp_dual_bf16 or warm_tv):
+        raise ValueError(
+            "fgp_opt variants are issue-count-reduced forms of the "
+            "statically-unrolled f32 cold-start loop — they require "
+            "fgp_unroll=True and exclude fgp_dual_bf16/warm_tv"
         )
     scal = jnp.stack(
         [
@@ -647,6 +657,7 @@ def fista_tv_fused(
                 rel_tol=rel_tol,
                 fgp_unroll=fgp_unroll,
                 fgp_dual_bf16=fgp_dual_bf16,
+                fgp_opt=fgp_opt,
                 sigma_fac=sigma_fac,
                 warm_tv=warm_tv,
             ),
@@ -678,6 +689,7 @@ def fista_tv_fused(
             rel_tol=rel_tol,
             fgp_unroll=fgp_unroll,
             fgp_dual_bf16=fgp_dual_bf16,
+            fgp_opt=fgp_opt,
             sigma_fac=sigma_fac,
             warm_tv=warm_tv,
         ),
@@ -860,6 +872,7 @@ def solve_pgm_tv_fused(
     warm_tv: bool = False,
     fgp_unroll: bool | None = None,
     fgp_dual_bf16: bool | None = None,
+    fgp_opt: str | None = None,
 ):
     """Drop-in fast path for `solve_batched_unrolled(solver, B)` when the
     solver is FISTA / OptISTA / POGM + SeparableConvOperator + 2-D TV (the
@@ -913,6 +926,15 @@ def solve_pgm_tv_fused(
         # VMEM bytes, so the conversions cost more than the bytes save
         # (docs/tpu.md roofline section). Stays opt-in.
         fgp_dual_bf16 = False
+    if fgp_opt is None and fgp_unroll and not fgp_dual_bf16 and not warm_tv:
+        # issue-count-reduced unrolled FGP (mask folded into the clamp
+        # bounds + shared exact ×⅛ scale): same strict-f32 math as the
+        # plain unrolled loop (chip A/B measured rel 0.0; ≤1-ulp under
+        # FMA contraction) and +6% median interleaved in-session
+        # (AB_FLAGSHIP_r05: fold 473.9 / pack 472.9 vs 445.7 p/s).
+        # "fold" is the default for its tighter windows; "pack"
+        # (sublane-stacked duals) stays opt-in.
+        fgp_opt = "fold"
     op_ = solver.AHA.A
     H_, W_ = op_.im_shape
     if (W_ % 64 or H_ % 64) and op_.taps_len is not None:
@@ -924,7 +946,7 @@ def solve_pgm_tv_fused(
         return _solve_pgm_tv_fused_stencil(
             solver, B_mat, interpret, method, restart, rel_tol,
             warm_tv=warm_tv, fgp_unroll=fgp_unroll,
-            fgp_dual_bf16=fgp_dual_bf16,
+            fgp_dual_bf16=fgp_dual_bf16, fgp_opt=fgp_opt,
         )
     sigma_fac = float(getattr(solver, "sigma_fac", 1.0))
     op = solver.AHA.A
@@ -969,13 +991,14 @@ def solve_pgm_tv_fused(
         warm_tv=warm_tv,
         fgp_unroll=fgp_unroll,
         fgp_dual_bf16=fgp_dual_bf16,
+        fgp_opt=fgp_opt,
     )
     return out.reshape(out.shape[0], H * W).T
 
 
 def _solve_pgm_tv_fused_stencil(
     solver, B_mat, interpret, method, restart, rel_tol, warm_tv=False,
-    fgp_unroll=False, fgp_dual_bf16=False,
+    fgp_unroll=False, fgp_dual_bf16=False, fgp_opt=None,
 ):
     """Stencil-gram variant of the fused solve (see solve_pgm_tv_fused):
     exact f32 VPU stencils instead of the compensated MXU matmuls — used
@@ -1018,5 +1041,6 @@ def _solve_pgm_tv_fused_stencil(
         warm_tv=warm_tv,
         fgp_unroll=fgp_unroll,
         fgp_dual_bf16=fgp_dual_bf16,
+        fgp_opt=fgp_opt,
     )
     return out.reshape(out.shape[0], H * W).T

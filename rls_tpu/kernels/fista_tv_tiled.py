@@ -211,8 +211,11 @@ def _kernel(
     normal = make_sepconv_normal_stencil_window(
         taps[0], taps[1], H, W, TRH, row0_img, f32
     )
+    # fold: issue-count-reduced unrolled window FGP (same strict-f32
+    # math; AB_FLAGSHIP_r05 measured +6% on the monolithic kernel)
     _, fgp = make_tv_fgp_window(H, W, TRH, row0_img, f32,
-                                unroll=fgp_unroll)
+                                unroll=fgp_unroll,
+                                opt="fold" if fgp_unroll else None)
 
     x = xi_s[...]
     x0hat = x0_s[...]
@@ -347,8 +350,10 @@ def _fista_vmem_sweep(
         )
         # unrolled lambda-scaled FGP on the fixed schedule (+17% on the
         # monolithic kernel, ab_fgp r4); dynamic keeps the fori loop
+        unrolled = fgp_unroll and not dynamic
         _, fgp = make_tv_fgp_window(H, W, n_rows, lo, f32,
-                                    unroll=fgp_unroll and not dynamic)
+                                    unroll=unrolled,
+                                    opt="fold" if unrolled else None)
         x = xc_s[lo:hi, :]
         x_mom = x + a * (x - xm_s[lo:hi, :])
         res = normal(x_mom) - x0_ref[0, lo:hi, :]
@@ -544,8 +549,10 @@ def _kernel_vmem_pgm(
         normal = make_sepconv_normal_stencil_window(
             taps[0], taps[1], H, W, n_rows, lo, f32
         )
+        unrolled = fgp_unroll and not dynamic
         _, fgp = make_tv_fgp_window(H, W, n_rows, lo, f32,
-                                    unroll=fgp_unroll and not dynamic)
+                                    unroll=unrolled,
+                                    opt="fold" if unrolled else None)
         x = x_s[lo:hi, :]
         y = y_s[lo:hi, :]
         z = z_s[lo:hi, :]

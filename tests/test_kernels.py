@@ -601,6 +601,74 @@ def test_fgp_unroll_and_grouped_noconcat_match(rng):
         assert np.linalg.norm(a - b) / np.linalg.norm(a) < 1e-5, kw
 
 
+def test_fgp_opt_variants_match_unrolled(rng):
+    """The issue-count-reduced unrolled FGP variants (fgp_opt='fold':
+    mask folded into the clamp bounds + shared exact ×⅛ scale;
+    fgp_opt='pack': sublane-stacked dual planes) only regroup exact
+    power-of-two scalings and replace `clip(q,-λ,λ)·mask` with
+    `clip(q,-λ·mask,λ·mask)` — identical in strict f32 semantics
+    (AB_FLAGSHIP_r05 measured rel 0.0 on chip), but platform FMA
+    contraction may round `r + g·⅛` once in one form and twice in the
+    other, so CPU asserts a few-ulp band, not bit equality."""
+    from rls_tpu.kernels.fista_tv_fused import fista_tv_fused
+
+    n, B = 24, 4
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    lcat, rcat = op.cat["normal"]
+    x0 = jnp.asarray(rng.normal(size=(B, n, n)), jnp.float32)
+    rho = jnp.asarray([0.9, 0.8, 0.95, 0.85], jnp.float32)
+    lam = jnp.asarray([1e-3, 2e-3, 5e-4, 3e-3], jnp.float32)
+    for extra in (
+        {},
+        dict(gram="noconcat", group=2),
+        dict(gram="stencil", taps=op.taps_hw(), group=2),
+    ):
+        # like-for-like reference: same gram/group, plain unrolled loop
+        # (different grams round differently and would dominate the diff)
+        ref = np.asarray(fista_tv_fused(
+            x0, lcat, rcat, rho, lam, 5, 4, interpret=True,
+            fgp_unroll=True, **extra))
+        for opt in ("fold", "pack"):
+            out = np.asarray(fista_tv_fused(
+                x0, lcat, rcat, rho, lam, 5, 4, interpret=True,
+                fgp_unroll=True, fgp_opt=opt, **extra))
+            np.testing.assert_allclose(out, ref, rtol=0, atol=2e-6,
+                                       err_msg=f"{opt} {extra}")
+
+
+def test_fgp_window_opt_variants_match_unrolled(rng):
+    """Window (tiled-kernel) twin of test_fgp_opt_variants_match_unrolled:
+    fold/pack must match the unrolled window FGP to within FMA-contraction
+    ulps at every window position (top window with pad rows, interior,
+    bottom)."""
+    from jax.experimental import pallas as pl
+
+    from rls_tpu.kernels._fgp_common import make_tv_fgp_window
+
+    H = W = 32
+
+    def run(x, n_rows, lo, opt):
+        def kern(x_ref, o_ref):
+            _, fgp = make_tv_fgp_window(H, W, n_rows, lo, jnp.float32,
+                                        unroll=True, opt=opt)
+            o_ref[...] = fgp(x_ref[...], jnp.float32(0.013), 7)
+
+        return np.asarray(pl.pallas_call(
+            kern, out_shape=jax.ShapeDtypeStruct((n_rows, W), jnp.float32),
+            interpret=True)(x))
+
+    for n_rows, lo in ((16, -4), (16, 10), (20, 12)):
+        x = jnp.asarray(rng.normal(size=(n_rows, W)), jnp.float32)
+        ref = run(x, n_rows, lo, None)
+        for opt in ("fold", "pack"):
+            np.testing.assert_allclose(
+                run(x, n_rows, lo, opt), ref, rtol=0, atol=2e-6,
+                err_msg=f"{n_rows} {lo} {opt}")
+
+
 def test_fgp_unroll_zero_lambda_matches_fori(rng):
     """λ_tv = 0 clamps the λ-scaled duals to zero — the unrolled kernel
     must agree with the default loop (which guards 1/λ) exactly there."""

@@ -12,6 +12,10 @@ Variants:
   * fori_f32    — the pre-r4 default (fori dual loop)
   * unroll_bf16 — unrolled + bf16-stored dual fields (the r4 roofline
                   ablation's named lever: dual VMEM traffic is the bound)
+  * unroll_fold — r5: mask folded into the clamp bounds + shared exact
+                  ×⅛ scale (~12% fewer VPU issue events; the r5 default)
+  * unroll_pack — r5: fold + dual planes stacked along sublanes (clamp/
+                  gradient/momentum issue once at double size)
 
 Writes AB_FLAGSHIP_r05.json: per-variant raw windows per round, medians,
 best, and cross-variant numerics deltas. Usage:
@@ -56,6 +60,10 @@ VARIANTS = [
     ("unroll_f32", dict(fgp_unroll=True, fgp_dual_bf16=False)),
     ("fori_f32", dict(fgp_unroll=False, fgp_dual_bf16=False)),
     ("unroll_bf16", dict(fgp_unroll=True, fgp_dual_bf16=True)),
+    # r5 issue-count-reduced unrolled variants (same strict-f32 math;
+    # docs/tpu.md roofline: the bound is per-op issue/dependency latency)
+    ("unroll_fold", dict(fgp_unroll=True, fgp_opt="fold")),
+    ("unroll_pack", dict(fgp_unroll=True, fgp_opt="pack")),
 ]
 
 
@@ -130,6 +138,20 @@ for name, _ in VARIANTS:
 print(json.dumps(report["variants"], indent=1))
 out_path = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "AB_FLAGSHIP_r05.json")
+# APPEND to the committed artifact instead of overwriting it — earlier
+# runs are cited by README/ROUND5_NOTES and must stay reproducible
+# in-place. Schema: {config, runs: [{scheme, variants}, ...], ...}.
+try:
+    with open(out_path) as fh:
+        merged = json.load(fh)
+except (OSError, json.JSONDecodeError):
+    merged = {"config": report["config"], "runs": []}
+merged.setdefault("runs", []).append({
+    "scheme": "ab_flagship rerun: " + ", ".join(n for n, _ in VARIANTS),
+    "rounds": ROUNDS,
+    "variants": report["variants"],
+    "failed": failed,
+})
 with open(out_path, "w") as fh:
-    json.dump(report, fh, indent=1)
-print(f"wrote {out_path}")
+    json.dump(merged, fh, indent=1)
+print(f"appended run {len(merged['runs'])} to {out_path}")
