@@ -54,6 +54,7 @@ def _kernel(
     tol_inner: float,
     taps: tuple | None = None,
     prox: str = "none",
+    fgp_unroll: bool = False,
 ):
     x0hat = x0_ref[0]
     b = pl.program_id(0)
@@ -115,7 +116,14 @@ def _kernel(
         )
         return xc
 
-    _, fgp_n = make_tv_fgp(H, W, f32)
+    # fgp_unroll: statically-unrolled λ-scaled dual loop with the r5
+    # "fold" issue-count reduction — valid here because the fused path
+    # requires vary_rho="none", so the prox scale λ/(2ρ) is constant
+    # across outer iterations. Same strict-f32 math as the unrolled PGM
+    # paths (chip A/B rel 0.0); interpret mode keeps fori (the unrolled
+    # body runs each op Python-eagerly there).
+    _, fgp_n = make_tv_fgp(H, W, f32, unroll=fgp_unroll,
+                           opt="fold" if fgp_unroll else None)
 
     def fgp(xg, lam_tv):
         return fgp_n(xg, lam_tv, tv_iterations)
@@ -158,6 +166,7 @@ def admm_tv_fused(
     interpret: bool = False,
     taps: tuple | None = None,
     prox: str = "none",
+    fgp_unroll: bool = False,
 ):
     B, H, W = x0hat_b.shape
     scal = jnp.stack(
@@ -177,6 +186,7 @@ def admm_tv_fused(
             tol_inner=tol_inner,
             taps=taps,
             prox=prox,
+            fgp_unroll=fgp_unroll,
         ),
         grid=(B,),
         in_specs=[
@@ -261,7 +271,8 @@ def _check_vmem_admm_tv(H, W):
         )
 
 
-def solve_admm_tv_fused(solver, B_mat, interpret: bool | None = None):
+def solve_admm_tv_fused(solver, B_mat, interpret: bool | None = None,
+                        fgp_unroll: bool | None = None):
     """Drop-in fast path for `solve_batched_unrolled(solver, B)` when the
     solver is ADMM + SeparableConvOperator + one identity-trafo 2-D TV term
     (BASELINE config #3's shape). Returns the n×K solution matrix.
@@ -328,5 +339,6 @@ def solve_admm_tv_fused(solver, B_mat, interpret: bool | None = None):
         interpret=interpret,
         taps=taps,
         prox=prox,
+        fgp_unroll=(not interpret) if fgp_unroll is None else fgp_unroll,
     )
     return out.reshape(out.shape[0], H * W).T

@@ -63,6 +63,7 @@ def _kernel(
     tv_iterations: int,
     tol_inner: float,
     n_coils: int,
+    fgp_unroll: bool = False,
 ):
     x0r = x0_ref[0, 0]
     x0i = x0_ref[0, 1]
@@ -86,7 +87,12 @@ def _kernel(
         lfr_ref[...], lfi_ref[...], rfr_ref[...], rfi_ref[...], f32,
     )
     normal = make_sense_normal(cfwd, cadj, mask, cr_ref, ci_ref, n_coils)
-    _, fgp_n = make_tv_fgp(H, W, f32)
+    # fgp_unroll: statically-unrolled λ-scaled dual loop with the r5
+    # "fold" issue-count reduction — valid because the TV prox scale
+    # λ₂/ρ₂ is constant across Bregman iterations. Same strict-f32 math
+    # as the unrolled PGM paths; interpret mode keeps the fori loop.
+    _, fgp_n = make_tv_fgp(H, W, f32, unroll=fgp_unroll,
+                           opt="fold" if fgp_unroll else None)
 
     rho_sum = rho1 + rho2
 
@@ -224,6 +230,7 @@ def splitbregman_l1_tv_sense_fused(
     tv_iterations: int,
     tol_inner: float,
     interpret: bool = False,
+    fgp_unroll: bool = False,
 ):
     B, _, H, W = x0hat_b.shape
     C = coils_r.shape[0]
@@ -244,6 +251,7 @@ def splitbregman_l1_tv_sense_fused(
             tv_iterations=tv_iterations,
             tol_inner=tol_inner,
             n_coils=C,
+            fgp_unroll=fgp_unroll,
         ),
         grid=(B,),
         in_specs=[
@@ -365,7 +373,9 @@ def check_splitbregman_l1_tv_fused(solver):
     _check_vmem_splitbregman(H, W, op.coils_r.shape[0])
 
 
-def solve_splitbregman_l1_tv_fused(solver, B_mat, interpret: bool | None = None):
+def solve_splitbregman_l1_tv_fused(solver, B_mat,
+                                   interpret: bool | None = None,
+                                   fgp_unroll: bool | None = None):
     """Drop-in fast path for `solve_batched_unrolled(solver, B)` when the
     solver is SplitBregman + SenseDFT2RealOperator + (L21(slices=2) + TV)
     with identity trafos (BASELINE config #4's shape). Returns the n×K
@@ -422,5 +432,6 @@ def solve_splitbregman_l1_tv_fused(solver, B_mat, interpret: bool | None = None)
         solver.reg[i_tv].iterations_tv,
         float(solver.tol_inner),
         interpret=interpret,
+        fgp_unroll=(not interpret) if fgp_unroll is None else fgp_unroll,
     )
     return out.reshape(out.shape[0], 2 * n).T

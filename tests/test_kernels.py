@@ -198,6 +198,62 @@ def test_admm_tv_fused_matches_composed(rng):
     np.testing.assert_allclose(got, want, rtol=0, atol=3e-4)
 
 
+def test_admm_splitbregman_fused_fgp_unroll_matches(rng):
+    """The chip default for the fused ADMM/SplitBregman TV prox is the
+    unrolled fold FGP (valid: both paths pin a constant prox scale —
+    vary_rho='none' / λ₂/ρ₂). It must match the fori dual loop to f32
+    tolerance (identical math up to rounding, like the PGM paths)."""
+    import jax
+
+    from rls_tpu.kernels import (
+        solve_admm_tv_fused,
+        solve_splitbregman_l1_tv_fused,
+    )
+
+    n, batch = 24, 3
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=4, unroll=True)
+    solver = rt.ADMM.create(
+        op, reg=reg, iterations=6, iterations_cg=5, unroll_cg=True, rho=0.1
+    )
+    X = jnp.asarray(rng.normal(size=(batch, n * n)), jnp.float32)
+    B = jax.vmap(op.mv)(X).T
+    fori = np.asarray(solve_admm_tv_fused(solver, B, fgp_unroll=False))
+    unrl = np.asarray(solve_admm_tv_fused(solver, B, fgp_unroll=True))
+    np.testing.assert_allclose(unrl, fori, rtol=0, atol=1e-5)
+
+    h = w = 16
+    n2 = h * w
+    C = 3
+    maps = (rng.normal(size=(C, h, w))
+            + 1j * rng.normal(size=(C, h, w))).astype(np.complex64)
+    maps /= np.sqrt((np.abs(maps) ** 2).sum(0))
+    mask = (rng.uniform(size=(h, w)) < 0.6).astype(np.float32)
+    op2 = rt.SenseDFT2RealOperator.from_maps(maps, mask, (h, w))
+    solver2 = rt.SplitBregman.create(
+        op2,
+        reg=[
+            rt.L21Regularization(1e-3, slices=2),
+            rt.TVRegularization(1e-3, shape=(2, h, w), dims=(1, 2),
+                                iterations_tv=4, unroll=True),
+        ],
+        reg_trafo=[rt.IdentityOperator(2 * n2, jnp.float32),
+                   rt.IdentityOperator(2 * n2, jnp.float32)],
+        iterations=2, iterations_inner=3, iterations_cg=5, unroll_cg=True,
+        rho=[0.01, 0.02],
+    )
+    X2 = jnp.asarray(rng.normal(size=(2, 2 * n2)), jnp.float32)
+    B2 = jax.vmap(op2.mv)(X2).T
+    fori2 = np.asarray(
+        solve_splitbregman_l1_tv_fused(solver2, B2, fgp_unroll=False))
+    unrl2 = np.asarray(
+        solve_splitbregman_l1_tv_fused(solver2, B2, fgp_unroll=True))
+    np.testing.assert_allclose(unrl2, fori2, rtol=0, atol=1e-5)
+
+
 def test_admm_tv_fused_rejects_unsupported(rng):
     from rls_tpu.kernels import solve_admm_tv_fused
 
