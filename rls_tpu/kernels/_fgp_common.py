@@ -29,6 +29,7 @@ from ..ops._precise import split3_bf16, split_bf16
 
 __all__ = [
     "make_tv_fgp",
+    "make_tv_fgp_fold_multi",
     "make_tv_fgp_stateful",
     "make_tv_fgp_window",
     "make_gram_normal",
@@ -814,6 +815,61 @@ def _fgp_unrolled_packed(
     pv = lax.slice_in_dim(P, 0, GH, axis=0)
     ph = lax.slice_in_dim(P, GH, 2 * GH, axis=0)
     return xg - gt(pv, ph), (pv, ph)
+
+
+def make_tv_fgp_fold_multi(H: int, W: int, dtype):
+    """G-problem INTERLEAVED fold-FGP: ``fgp(xgs, lam_tvs, iterations)``
+    over tuples of (H, W) planes, one per independent problem.
+
+    Each problem's math is exactly `_fgp_unrolled_fold` (same op
+    sequence, same strict-f32 semantics); what changes is PROGRAM ORDER:
+    every dual-iteration line is emitted for all G problems before the
+    next line, so the kernel body presents G independent dependency
+    chains side by side. The r5 roofline attribution (docs/tpu.md) says
+    roughly half the per-op cost of the flagship's dual loop is
+    issue/dependency latency; plane-stacking (``groups``/``pack``)
+    cannot recover it because Mosaic issues per (8, 128) vreg either
+    way — but independent adjacent ops let the static VLIW scheduler
+    fill one chain's stalls with another chain's work. Unlike
+    ``groups`` stacking, per-problem λ/ρ stay true SMEM scalars (no
+    iota select ladder, no λ planes).
+    """
+    _, not_last_row, not_last_col, gv, gh, gt, _ = _fgp_grid(H, W, dtype, 1)
+
+    def fgp_multi(xgs, lam_tvs, iterations: int):
+        G = len(xgs)
+        assert len(lam_tvs) == G
+        bvs = tuple(l * not_last_row for l in lam_tvs)
+        bhs = tuple(l * not_last_col for l in lam_tvs)
+        if iterations == 0:
+            return tuple(xgs)
+        ys = tuple(x * 0.125 for x in xgs)
+        pvs = tuple(jnp.clip(gv(y), -bv, bv) for y, bv in zip(ys, bvs))
+        phs = tuple(jnp.clip(gh(y), -bh, bh) for y, bh in zip(ys, bhs))
+        rvs, rhs = pvs, phs
+        t2s = _fgp_t2_schedule(iterations)
+        for i in range(1, iterations):
+            ys = tuple(
+                (x - gt(rv, rh)) * 0.125
+                for x, rv, rh in zip(xgs, rvs, rhs)
+            )
+            qvs = tuple(
+                jnp.clip(rv + gv(y), -bv, bv)
+                for rv, y, bv in zip(rvs, ys, bvs)
+            )
+            qhs = tuple(
+                jnp.clip(rh + gh(y), -bh, bh)
+                for rh, y, bh in zip(rhs, ys, bhs)
+            )
+            t2 = t2s[i]
+            rvs = tuple((1.0 + t2) * qv - t2 * pv for qv, pv in zip(qvs, pvs))
+            rhs = tuple((1.0 + t2) * qh - t2 * ph for qh, ph in zip(qhs, phs))
+            pvs, phs = qvs, qhs
+        return tuple(
+            x - gt(pv, ph) for x, pv, ph in zip(xgs, pvs, phs)
+        )
+
+    return fgp_multi
 
 
 def make_tv_fgp(H: int, W: int, dtype, groups: int = 1, unroll: bool = False,

@@ -108,6 +108,7 @@ from ._fgp_common import (  # noqa: E402
     make_gram_normal_noconcat,
     make_sepconv_normal_stencil,
     make_tv_fgp,
+    make_tv_fgp_fold_multi,
     make_tv_fgp_stateful,
 )
 
@@ -456,6 +457,118 @@ def _fista_loop_warm(
     return x
 
 
+def _pgm_loop_multi(
+    normal, fgp_multi, tab_ref, rhos, lams, x0hats, iterations, method
+):
+    """`_pgm_loop` over G INTERLEAVED problems: one fori_loop whose body
+    emits every per-iteration line for all G problems before the next
+    line (tuples of (H, W) planes in the carry). Per-problem math is
+    identical to `_pgm_loop` + fold-FGP; only program order changes —
+    G independent dependency chains sit side by side for the static
+    scheduler (see `make_tv_fgp_fold_multi`). ρ/λ are per-problem SMEM
+    scalars."""
+    G = len(x0hats)
+
+    def body(i, carry):
+        xs, m1s, m2s = carry
+        a = tab_ref[i, 0]
+        bcoef = tab_ref[i, 1]
+        g = tab_ref[i, 2]
+        e = tab_ref[i, 3]
+        if method == "fista":
+            x_moms = tuple(x + a * (x - m1) for x, m1 in zip(xs, m1s))
+            ress = tuple(
+                normal(xm) - x0 for xm, x0 in zip(x_moms, x0hats)
+            )
+            xgs = tuple(
+                xm - r * res for xm, r, res in zip(x_moms, rhos, ress)
+            )
+            x_news = fgp_multi(
+                xgs, tuple(r * l for r, l in zip(rhos, lams))
+            )
+            return (x_news, xs, m2s)
+        if method == "optista":
+            ys, zs = m1s, m2s
+            ress = tuple(normal(x) - x0 for x, x0 in zip(xs, x0hats))
+            y_news = fgp_multi(
+                tuple(
+                    y - (r * g) * res for y, r, res in zip(ys, rhos, ress)
+                ),
+                tuple((r * g) * l for r, l in zip(rhos, lams)),
+            )
+            z_news = tuple(
+                x + (yn - y) * e for x, yn, y in zip(xs, y_news, ys)
+            )
+            x_news = tuple(
+                (1.0 + a + bcoef) * zn - a * z - bcoef * x
+                for zn, z, x in zip(z_news, zs, xs)
+            )
+            return (x_news, y_news, z_news)
+        # pogm (restart="none", σ = 1)
+        ys, zs = m1s, m2s
+        ress = tuple(normal(x) - x0 for x, x0 in zip(xs, x0hats))
+        y_news = tuple(x - r * res for x, r, res in zip(xs, rhos, ress))
+        x_mids = tuple(
+            (1.0 + a + bcoef) * yn - a * y - (bcoef + e) * x + e * z
+            for yn, y, x, z in zip(y_news, ys, xs, zs)
+        )
+        x_news = fgp_multi(
+            x_mids, tuple((r * g) * l for r, l in zip(rhos, lams))
+        )
+        return (x_news, y_news, x_mids)
+
+    x_inits = tuple(x0 * 0.0 for x0 in x0hats)
+    xs, _, _ = lax.fori_loop(
+        0, iterations, body, (x_inits, x_inits, x_inits)
+    )
+    return xs
+
+
+def _kernel_interleaved(
+    scal_ref,  # SMEM (B, 2): per-problem [rho, lam_eff]
+    tab_ref,  # SMEM (iterations, 4)
+    lcat_ref,  # VMEM (H, 3H)
+    rcat_ref,  # VMEM (3W, W)
+    x0_ref,  # VMEM (G, H, W): AᴴB for this step's G problems
+    out_ref,  # VMEM (G, H, W)
+    *,
+    iterations: int,
+    tv_iterations: int,
+    method: str,
+    group: int,
+):
+    """G problems per grid step as G INTERLEAVED (H, W) chains — NOT
+    plane-stacked like `_kernel_grouped`. Targets the r5 roofline bound
+    (per-op issue/dependency latency, docs/tpu.md): independent ops
+    adjacent in program order let the VLIW scheduler fill one chain's
+    stalls with another's work, which bigger planes cannot (Mosaic
+    issues per (8, 128) vreg either way — measured: group=2 stacking
+    448.9 p/s vs 575.5 ungrouped, pack ≈ fold). Per-problem semantics
+    are exactly `_kernel` with the fold FGP (same strict-f32 math)."""
+    G = group
+    _, H, W = x0_ref.shape
+    f32 = x0_ref.dtype
+    b = pl.program_id(0)
+    rhos = tuple(scal_ref[b * G + g, 0] for g in range(G))
+    lams = tuple(scal_ref[b * G + g, 1] for g in range(G))
+    lcat = lcat_ref[...]
+    rcat = rcat_ref[...]
+    l2 = jnp.concatenate([lcat[:, :H], lcat[:, 2 * H :]], axis=0)
+    r2 = jnp.concatenate([rcat[:W], rcat[2 * W :]], axis=1)
+    normal = make_gram_normal_noconcat(l2, lcat[:, :H], r2, rcat[:W], f32)
+    fgp_m = make_tv_fgp_fold_multi(H, W, f32)
+
+    def fgp_multi(xgs, lam_tvs):
+        return fgp_m(xgs, lam_tvs, tv_iterations)
+
+    x0hats = tuple(x0_ref[g] for g in range(G))
+    xs = _pgm_loop_multi(
+        normal, fgp_multi, tab_ref, rhos, lams, x0hats, iterations, method
+    )
+    for g in range(G):
+        out_ref[g] = xs[g]
+
+
 def _kernel_grouped(
     scal_ref,  # SMEM (B, 2): per-problem [rho, lam_eff]
     tab_ref,  # SMEM (iterations, 4)
@@ -580,8 +693,70 @@ def fista_tv_fused(
     fgp_opt: str | None = None,
     sigma_fac: float = 1.0,
     warm_tv: bool = False,
+    interleave: int = 1,
 ):
     B, H, W = x0hat_b.shape
+    if interleave > 1:
+        # G interleaved per-problem chains per grid step (see
+        # _kernel_interleaved) — fixed-schedule fold-FGP noconcat only
+        if gram != "noconcat":
+            raise ValueError("interleave > 1 requires gram='noconcat'")
+        if group > 1:
+            raise ValueError("interleave and group are mutually exclusive")
+        if restart or rel_tol is not None or warm_tv or fgp_dual_bf16:
+            raise ValueError(
+                "interleave > 1 is the fixed-schedule f32 fold path: no "
+                "restart/early-exit/warm_tv/bf16 duals"
+            )
+        if B % interleave:
+            raise ValueError(
+                f"batch {B} not divisible by interleave {interleave}"
+            )
+        G = interleave
+        scal = jnp.stack(
+            [
+                jnp.broadcast_to(
+                    jnp.asarray(rho, jnp.float32).reshape(-1), (B,)
+                ),
+                jnp.broadcast_to(
+                    jnp.asarray(lam, jnp.float32).reshape(-1), (B,)
+                ),
+            ],
+            axis=1,
+        )
+        tab = jnp.asarray(_momentum_table(method, iterations))
+        _check_vmem_pgm_tv_interleaved(H, W, G)
+        return pl.pallas_call(
+            functools.partial(
+                _kernel_interleaved,
+                iterations=iterations,
+                tv_iterations=tv_iterations,
+                method=method,
+                group=G,
+            ),
+            grid=(B // G,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (H, 3 * H), lambda b: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (3 * W, W), lambda b: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (G, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (G, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, H, W), x0hat_b.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_vmem_limit_pgm_tv_interleaved(H, W, G)
+            ),
+            interpret=interpret,
+        )(scal, tab, lcat, rcat, x0hat_b)
     if (restart or rel_tol is not None) and method not in ("fista", "pogm"):
         raise ValueError(
             "restart/early-exit are FISTA/POGM-only in the fused path"
@@ -864,6 +1039,33 @@ def _check_vmem_pgm_tv(
         )
 
 
+def _vmem_model_pgm_tv_interleaved(H, W, G):
+    """Working-set model for the interleaved kernel: per problem the
+    live chain is ~the single-problem noconcat set minus the shared
+    factor/concat buffers (x, m1, m2, x0hat, x_mom/res/xg temps, 4 FGP
+    duals + y/q temps + the 2 folded bound planes ≈ 16 planes), plus
+    the shared factor blocks once."""
+    return (16 * G * H * W + 3 * H * H + 3 * W * W) * 4
+
+
+def _vmem_limit_pgm_tv_interleaved(H, W, G):
+    model = _vmem_model_pgm_tv_interleaved(H, W, G)
+    # in/out double-buffering is (G, H, W) blocks; count one extra copy
+    # of each plus the factor blocks and 2 MiB slack (same calibration
+    # as _vmem_limit_pgm_tv)
+    slack = 2 * G * H * W * 4 + (3 * H * H + 3 * W * W) * 4 + 2 * 1024 * 1024
+    return max(16 * 1024 * 1024, model + slack)
+
+
+def _check_vmem_pgm_tv_interleaved(H, W, G):
+    vmem_bytes = _vmem_model_pgm_tv_interleaved(H, W, G)
+    if vmem_bytes > _vmem_gate_bytes():
+        raise ValueError(
+            f"interleaved fused FISTA-TV working set ~{vmem_bytes/2**20:.0f} "
+            "MiB exceeds VMEM; lower interleave or use the composed path"
+        )
+
+
 def solve_pgm_tv_fused(
     solver,
     B_mat,
@@ -873,6 +1075,7 @@ def solve_pgm_tv_fused(
     fgp_unroll: bool | None = None,
     fgp_dual_bf16: bool | None = None,
     fgp_opt: str | None = None,
+    interleave: int = 1,
 ):
     """Drop-in fast path for `solve_batched_unrolled(solver, B)` when the
     solver is FISTA / OptISTA / POGM + SeparableConvOperator + 2-D TV (the
@@ -935,8 +1138,20 @@ def solve_pgm_tv_fused(
         # "fold" is the default for its tighter windows; "pack"
         # (sublane-stacked duals) stays opt-in.
         fgp_opt = "fold"
+    if interleave > 1 and (restart or rel_tol is not None or warm_tv
+                           or fgp_dual_bf16 or not fgp_unroll):
+        raise ValueError(
+            "interleave > 1 is the fixed-schedule f32 fold path: no "
+            "restart/early-exit/warm_tv/bf16 duals (and requires the "
+            "unrolled FGP)"
+        )
     op_ = solver.AHA.A
     H_, W_ = op_.im_shape
+    if interleave > 1 and (W_ % 64 or H_ % 64):
+        raise ValueError(
+            "interleave > 1 rides the compensated-MXU gram, which needs "
+            "H, W % 64 == 0"
+        )
     if (W_ % 64 or H_ % 64) and op_.taps_len is not None:
         # Mosaic rejects the compensated grams' in-kernel lane-dim REF
         # slices at offsets not divisible by 128 ("offset mismatch on
@@ -992,6 +1207,7 @@ def solve_pgm_tv_fused(
         fgp_unroll=fgp_unroll,
         fgp_dual_bf16=fgp_dual_bf16,
         fgp_opt=fgp_opt,
+        interleave=interleave,
     )
     return out.reshape(out.shape[0], H * W).T
 

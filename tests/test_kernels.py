@@ -254,6 +254,34 @@ def test_admm_splitbregman_fused_fgp_unroll_matches(rng):
     np.testing.assert_allclose(unrl2, fori2, rtol=0, atol=1e-5)
 
 
+def test_pgm_tv_fused_interleave_matches_fold(rng):
+    """interleave=G runs G independent per-problem chains inside one
+    grid step with IDENTICAL per-problem math to the fold-FGP default —
+    only program order changes (see _kernel_interleaved), so the result
+    must match the interleave=1 fold path exactly in interpret mode."""
+    import jax
+
+    from rls_tpu.kernels.fista_tv_fused import solve_pgm_tv_fused
+
+    n = 64  # noconcat gram needs H, W % 64 == 0
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    kern = np.outer(g, g)
+    kern /= kern.sum()
+    op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
+    reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=2,
+                              unroll=True)
+    solver = rt.FISTA.create(op, reg=reg, iterations=2, rho=0.9)
+    X = jnp.asarray(rng.normal(size=(2, n * n)), jnp.float32)
+    B = jax.vmap(op.mv)(X).T
+    base = np.asarray(
+        solve_pgm_tv_fused(solver, B, interpret=True, fgp_unroll=True,
+                           fgp_opt="fold"))
+    ilv = np.asarray(
+        solve_pgm_tv_fused(solver, B, interpret=True, fgp_unroll=True,
+                           fgp_opt="fold", interleave=2))
+    np.testing.assert_array_equal(ilv, base)
+
+
 def test_admm_tv_fused_rejects_unsupported(rng):
     from rls_tpu.kernels import solve_admm_tv_fused
 

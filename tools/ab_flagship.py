@@ -56,23 +56,38 @@ lam_eff = reg.get_lam() * scale
 lcat, rcat = op.cat["normal"]
 interp = jax.default_backend() == "cpu"
 
+# the i4 interleave variant's working-set model (~18 MiB) exceeds the
+# 16 MiB dispatch gate; raise it for the A/B only — the kernel passes
+# its own explicit vmem_limit_bytes, and v5e has 128 MiB physical VMEM
+os.environ.setdefault("RLS_TPU_VMEM_GATE_MIB", "24")
+
 VARIANTS = [
     ("unroll_f32", dict(fgp_unroll=True, fgp_dual_bf16=False)),
     ("fori_f32", dict(fgp_unroll=False, fgp_dual_bf16=False)),
-    ("unroll_bf16", dict(fgp_unroll=True, fgp_dual_bf16=True)),
     # r5 issue-count-reduced unrolled variants (same strict-f32 math;
     # docs/tpu.md roofline: the bound is per-op issue/dependency latency)
     ("unroll_fold", dict(fgp_unroll=True, fgp_opt="fold")),
     ("unroll_pack", dict(fgp_unroll=True, fgp_opt="pack")),
+    # r5 run-4 candidates: G INDEPENDENT per-problem chains interleaved
+    # in program order (fold math per problem; the scheduler fills one
+    # chain's dependency stalls with another's work) vs G plane-STACKED
+    # problems (fold on (G·H, W) planes, λ/ρ as iota-select planes) —
+    # the stacking form lost in r4 (448.9 vs 575.5 plain-unroll); the
+    # interleaved form is new
+    ("fold_i2", dict(fgp_unroll=True, fgp_opt="fold", interleave=2)),
+    ("fold_i4", dict(fgp_unroll=True, fgp_opt="fold", interleave=4)),
+    ("fold_g2", dict(fgp_unroll=True, fgp_opt="fold", group=2)),
 ]
 
 
 def make_fn(cfg):
+    kw = dict(gram="noconcat", group=1)
+    kw.update(cfg)
+
     def f(x0):
         return fista_tv_fused(
             x0, lcat, rcat, solver.rho, lam_eff, ITERS, reg.iterations_tv,
-            interpret=interp, method="fista", gram="noconcat", group=1,
-            **cfg,
+            interpret=interp, method="fista", **kw,
         )
 
     return jax.jit(f)
