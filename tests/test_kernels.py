@@ -254,11 +254,13 @@ def test_admm_splitbregman_fused_fgp_unroll_matches(rng):
     np.testing.assert_allclose(unrl2, fori2, rtol=0, atol=1e-5)
 
 
-def test_pgm_tv_fused_interleave_matches_fold(rng):
+@pytest.mark.parametrize("method", ["fista", "optista", "pogm"])
+def test_pgm_tv_fused_interleave_matches_fold(rng, method):
     """interleave=G runs G independent per-problem chains inside one
     grid step with IDENTICAL per-problem math to the fold-FGP default —
     only program order changes (see _kernel_interleaved), so the result
-    must match the interleave=1 fold path exactly in interpret mode."""
+    must match the interleave=1 fold path exactly in interpret mode.
+    All three _pgm_loop_multi branches are exercised."""
     import jax
 
     from rls_tpu.kernels.fista_tv_fused import solve_pgm_tv_fused
@@ -270,7 +272,8 @@ def test_pgm_tv_fused_interleave_matches_fold(rng):
     op = rt.SeparableConvOperator.from_kernel(kern, im_shape=(n, n))
     reg = rt.TVRegularization(1e-3, shape=(n, n), iterations_tv=2,
                               unroll=True)
-    solver = rt.FISTA.create(op, reg=reg, iterations=2, rho=0.9)
+    cls = {"fista": rt.FISTA, "optista": rt.OptISTA, "pogm": rt.POGM}[method]
+    solver = cls.create(op, reg=reg, iterations=2, rho=0.9)
     X = jnp.asarray(rng.normal(size=(2, n * n)), jnp.float32)
     B = jax.vmap(op.mv)(X).T
     base = np.asarray(
